@@ -1,0 +1,31 @@
+"""hyrise_tpu — a TPU-native vectorized SQL query-execution engine.
+
+A from-scratch reimagining of the capability set of Hyrise (reference:
+/root/reference, an in-memory columnar SQL database in C++17) as a
+JAX/XLA/Pallas engine:
+
+- Storage: tables are sets of fixed-capacity, device-resident column arrays
+  (dictionary codes for strings) with validity masks, hash-partitioned across
+  a `jax.sharding.Mesh` for multi-host execution.
+- Operators: scan / join / aggregate / sort / projection are jitted XLA
+  programs (Pallas kernels on hot paths) over (values, validity) arrays.
+- Variable-size results (filters, join fan-out) use count-then-allocate with
+  power-of-two capacity bucketing so XLA sees a bounded set of static shapes.
+- Distribution: all-to-all shuffle over ICI/DCN replaces the reference's
+  NUMA-aware task scheduler (reference: src/lib/scheduler/).
+
+See SURVEY.md for the reference structural analysis this build follows.
+"""
+
+__version__ = "0.1.0"
+
+# A SQL engine needs real int64/float64 (SUM/COUNT accumulators, long keys).
+# Must be set before any jax array is created.
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from hyrise_tpu.types import DataType, JoinMode, PredicateCondition, SortMode  # noqa: F401
+from hyrise_tpu.storage.table import Table  # noqa: F401
+from hyrise_tpu.storage.column import Column  # noqa: F401
+from hyrise_tpu.storage.catalog import Catalog  # noqa: F401
