@@ -1,0 +1,393 @@
+"""Join operators.
+
+Reference operators covered here:
+- JoinHash (src/lib/operators/join_hash.cpp, 861 LoC): radix hash join,
+  equi-only, build side = smaller input, modes Inner/Left/Right/Outer/Semi/
+  Anti.
+- JoinSortMerge (join_sort_merge.cpp): sort-merge, supports <, <=, >, >=, !=.
+- JoinNestedLoop (join_nested_loop.cpp): O(n·m) fallback, any predicate.
+- Product (product.cpp): cross join.
+- JoinIndex (join_index.cpp): probe side uses an index — our sorted build
+  side IS the index, so JoinIndex aliases the main path.
+
+TPU-native redesign (single chip; the distributed all-to-all variant lives in
+parallel/): pointer-chasing hash tables don't vectorize on TPU, so the ONE
+engine is sort-based:
+
+  1. promote both key columns to a common key space (hash_traits.hpp
+     analogue; strings via merged dictionaries),
+  2. sort the build side ONCE (keys, with invalid/dead rows pushed past
+     n_valid by a (key, invalid) lexsort),
+  3. for every probe row, its matches are a CONTIGUOUS RANGE [lo, hi) of the
+     sorted build side, for equality AND all range conditions (< <= > >=);
+     != is the union of two ranges. lo/hi come from two vectorized
+     searchsorted calls — no per-row control flow,
+  4. count-then-allocate: total match count is host-synced, bucketed, and the
+     (probe_idx, build_idx) pairs are expanded with jnp.repeat(...,
+     total_repeat_length) + prefix-sum rank arithmetic — all static shapes.
+
+Join-key NULL semantics match the reference (join_hash.cpp probe/
+probe_semi_anti): NULL keys never match; LEFT/RIGHT/OUTER emit them with
+NULL right/left sides; ANTI keeps them.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyrise_tpu.ops.base import AbstractOperator
+from hyrise_tpu.storage.column import Column, merge_dictionaries
+from hyrise_tpu.storage.table import Table
+from hyrise_tpu.types import DataType, JoinMode, PredicateCondition, bucket_capacity
+
+
+def _join_key_arrays(lt: Table, rt: Table, left_col: str, right_col: str):
+    """Promote both key columns into one comparable key space (the reference's
+    JoinHash hash_traits HashedType promotion for mixed int/float keys)."""
+    lc, rc = lt.column(left_col), rt.column(right_col)
+    if (lc.dtype is DataType.STRING) != (rc.dtype is DataType.STRING):
+        raise TypeError("cannot join string with non-string column")
+    if lc.dtype is DataType.STRING:
+        same = lc.dictionary is rc.dictionary or np.array_equal(
+            lc.dictionary, rc.dictionary)
+        if same:
+            lk, rk = lc.data.astype(jnp.int64), rc.data.astype(jnp.int64)
+        else:
+            _, rl, rr = merge_dictionaries(lc.dictionary, rc.dictionary)
+            lk = jnp.asarray(rl)[lc.data].astype(jnp.int64)
+            rk = jnp.asarray(rr)[rc.data].astype(jnp.int64)
+    elif lc.dtype.is_integral and rc.dtype.is_integral:
+        lk, rk = lc.data.astype(jnp.int64), rc.data.astype(jnp.int64)
+    else:
+        lk, rk = lc.data.astype(jnp.float64), rc.data.astype(jnp.float64)
+    lv = lc.validity if lc.validity is not None else None
+    rv = rc.validity if rc.validity is not None else None
+    return lk, lv, rk, rv
+
+
+@jax.jit
+def _build_side(keys: jax.Array, valid: jax.Array):
+    """Sort build side: returns (sorted_keys, perm, n_valid).
+
+    Invalid/dead rows get their key replaced by the dtype max sentinel so the
+    array is globally sorted; the (key, invalid) lexsort puts REAL max-valued
+    rows before sentinel rows on ties, and probe ranges clamp hi to n_valid,
+    so sentinel rows can never match."""
+    if keys.dtype.kind == "f":
+        sentinel = jnp.array(jnp.inf, dtype=keys.dtype)
+    else:
+        sentinel = jnp.array(jnp.iinfo(keys.dtype).max, dtype=keys.dtype)
+    masked = jnp.where(valid, keys, sentinel)
+    perm = jnp.lexsort([(~valid).astype(jnp.int32), masked])
+    sorted_keys = jnp.take(masked, perm, axis=0)
+    n_valid = jnp.sum(valid)
+    return sorted_keys, perm, n_valid
+
+
+@partial(jax.jit, static_argnames=("cond",))
+def _probe_ranges(sorted_keys, n_valid, probe_keys, probe_valid, cond):
+    """Per-probe-row contiguous match range [lo, hi) in the sorted build."""
+    left_pos = jnp.searchsorted(sorted_keys, probe_keys, side="left")
+    right_pos = jnp.searchsorted(sorted_keys, probe_keys, side="right")
+    if cond is PredicateCondition.EQUALS:
+        lo, hi = left_pos, right_pos
+    elif cond is PredicateCondition.LESS_THAN:        # probe < build
+        lo, hi = right_pos, n_valid
+    elif cond is PredicateCondition.LESS_THAN_EQUALS:
+        lo, hi = left_pos, n_valid
+    elif cond is PredicateCondition.GREATER_THAN:     # probe > build
+        lo, hi = jnp.zeros_like(left_pos), left_pos
+    elif cond is PredicateCondition.GREATER_THAN_EQUALS:
+        lo, hi = jnp.zeros_like(left_pos), right_pos
+    else:
+        raise ValueError(cond)
+    lo = jnp.minimum(lo, n_valid)
+    hi = jnp.minimum(hi, n_valid)
+    counts = jnp.where(probe_valid, jnp.maximum(hi - lo, 0), 0)
+    return lo.astype(jnp.int32), counts.astype(jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("out_cap",))
+def _expand_pairs(lo, counts, build_perm, out_cap):
+    """Expand per-probe ranges into flat (probe_idx, build_idx) pair arrays."""
+    cap = counts.shape[0]
+    probe_ids = jnp.arange(cap, dtype=jnp.int32)
+    offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
+    probe_out = jnp.repeat(probe_ids, counts, total_repeat_length=out_cap)
+    rank = (jnp.arange(out_cap, dtype=jnp.int32)
+            - jnp.repeat(offsets, counts, total_repeat_length=out_cap))
+    pos = jnp.repeat(lo, counts, total_repeat_length=out_cap) + rank
+    pos = jnp.clip(pos, 0, build_perm.shape[0] - 1)
+    build_out = jnp.take(build_perm, pos, axis=0).astype(jnp.int32)
+    return probe_out, build_out
+
+
+def _gather_columns(table: Table, indices: jax.Array,
+                    extra_valid: Optional[jax.Array]) -> List[Column]:
+    """Gather columns at indices; extra_valid (aligned with indices) marks
+    rows that must become NULL (outer-join padding)."""
+    cols = []
+    for c in table.columns:
+        data = jnp.take(c.data, indices, axis=0)
+        if c.validity is not None:
+            v = jnp.take(c.validity, indices, axis=0)
+            if extra_valid is not None:
+                v = v & extra_valid
+        else:
+            v = extra_valid
+        cols.append(Column(c.name, c.dtype, data, v, c.dictionary))
+    return cols
+
+
+class Join(AbstractOperator):
+    """Unified sorted-range join engine (see module docstring)."""
+
+    name = "Join"
+
+    def __init__(self, left: AbstractOperator, right: AbstractOperator,
+                 mode: JoinMode, column_pair: Tuple[str, str],
+                 cond: PredicateCondition = PredicateCondition.EQUALS):
+        super().__init__(left, right)
+        self.mode = mode
+        self.left_col, self.right_col = column_pair
+        self.cond = cond
+
+    # -- core: probe left against sorted right -------------------------------
+
+    def _probe(self, lt: Table, rt: Table, cond: PredicateCondition):
+        lk, lv, rk, rv = _join_key_arrays(lt, rt, self.left_col, self.right_col)
+        l_live = lt.live_mask()
+        r_live = rt.live_mask()
+        probe_valid = l_live if lv is None else (l_live & lv)
+        build_valid = r_live if rv is None else (r_live & rv)
+        sorted_keys, perm, n_valid = _build_side(rk, build_valid)
+
+        if cond is PredicateCondition.NOT_EQUALS:
+            lo1, c1 = _probe_ranges(sorted_keys, n_valid, lk, probe_valid,
+                                    PredicateCondition.GREATER_THAN)
+            lo2, c2 = _probe_ranges(sorted_keys, n_valid, lk, probe_valid,
+                                    PredicateCondition.LESS_THAN)
+            return [(lo1, c1), (lo2, c2)], perm, probe_valid
+        lo, counts = _probe_ranges(sorted_keys, n_valid, lk, probe_valid, cond)
+        return [(lo, counts)], perm, probe_valid
+
+    def _on_execute(self, context) -> Table:
+        mode = self.mode
+        lt = self.input_table(0)
+        rt = self.input_table(1)
+
+        if mode is JoinMode.RIGHT:
+            # RIGHT = LEFT with sides swapped (reference join_hash.cpp:55-76),
+            # output column order restored below.
+            inner = Join.__new__(Join)
+            AbstractOperator.__init__(inner)
+            inner.mode = JoinMode.LEFT
+            inner.left_col, inner.right_col = self.right_col, self.left_col
+            inner.cond = self.cond.flipped()
+            pairs, perm, probe_valid = inner._probe(rt, lt, inner.cond)
+            return self._emit(rt, lt, pairs, perm, probe_valid,
+                              JoinMode.LEFT, swap_output=True)
+
+        pairs, perm, probe_valid = self._probe(lt, rt, self.cond)
+        return self._emit(lt, rt, pairs, perm, probe_valid, mode)
+
+    # -- output emission ------------------------------------------------------
+
+    def _emit(self, probe_t: Table, build_t: Table, range_lists, build_perm,
+              probe_valid, mode: JoinMode, swap_output: bool = False) -> Table:
+        total_counts = range_lists[0][1]
+        for _, c in range_lists[1:]:
+            total_counts = total_counts + c
+
+        if mode in (JoinMode.SEMI, JoinMode.ANTI):
+            live = probe_t.live_mask()
+            if mode is JoinMode.SEMI:
+                keep = (total_counts > 0) & live
+            else:
+                keep = (total_counts == 0) & live  # NULL keys kept (no match)
+            from hyrise_tpu.ops.materialize import filter_table
+            return filter_table(probe_t, keep)
+
+        total = int(jnp.sum(total_counts))
+
+        segments = []  # (probe_idx, build_idx, matched_flag) pieces
+        for lo, counts in range_lists:
+            seg_total = int(jnp.sum(counts))
+            if seg_total == 0 and len(range_lists) > 1:
+                continue
+            out_cap = bucket_capacity(seg_total)
+            p_idx, b_idx = _expand_pairs(lo, counts, build_perm, out_cap)
+            segments.append((p_idx[:out_cap], b_idx, seg_total, out_cap))
+
+        probe_parts, build_parts, flags_parts, counts_rows = [], [], [], 0
+        for p_idx, b_idx, seg_total, out_cap in segments:
+            probe_parts.append(p_idx)
+            build_parts.append(b_idx)
+            flags_parts.append(jnp.ones(out_cap, dtype=bool))
+            counts_rows += seg_total
+
+        # Unmatched probe rows for LEFT / OUTER.
+        n_unmatched = 0
+        if mode in (JoinMode.LEFT, JoinMode.OUTER):
+            live = probe_t.live_mask()
+            unmatched = (total_counts == 0) & live
+            n_unmatched = int(jnp.sum(unmatched))
+            u_cap = bucket_capacity(max(n_unmatched, 1))
+            u_idx = jnp.nonzero(unmatched, size=u_cap, fill_value=0)[0] \
+                .astype(jnp.int32)
+            probe_parts.append(u_idx)
+            build_parts.append(jnp.zeros(u_cap, dtype=jnp.int32))
+            flags_parts.append(jnp.zeros(u_cap, dtype=bool))
+
+        # Unmatched build rows for OUTER.
+        n_build_unmatched = 0
+        if mode is JoinMode.OUTER:
+            matched = jnp.zeros(build_t.capacity, dtype=bool)
+            offset = 0
+            for p_idx, b_idx, seg_total, out_cap in segments:
+                sel = jnp.arange(out_cap) < seg_total
+                scatter_idx = jnp.where(sel, b_idx, build_t.capacity)
+                matched = matched.at[scatter_idx].set(True, mode="drop")
+            b_live = build_t.live_mask()
+            b_unmatched = (~matched) & b_live
+            n_build_unmatched = int(jnp.sum(b_unmatched))
+            bu_cap = bucket_capacity(max(n_build_unmatched, 1))
+            bu_idx = jnp.nonzero(b_unmatched, size=bu_cap, fill_value=0)[0] \
+                .astype(jnp.int32)
+            probe_parts.append(jnp.zeros(bu_cap, dtype=jnp.int32))
+            build_parts.append(bu_idx)
+            # flag False means "NULL-pad the OTHER side": we need per-side
+            # flags; handled below via two flag arrays.
+            flags_parts.append(jnp.full(bu_cap, 2, dtype=jnp.int32))
+
+        # Assemble flat index arrays. flag semantics: 1 = both real,
+        # 0 = build side NULL, 2 = probe side NULL.
+        flat_flags = jnp.concatenate(
+            [f.astype(jnp.int32) if f.dtype != jnp.int32 else f
+             for f in flags_parts])
+        flat_probe = jnp.concatenate(probe_parts)
+        flat_build = jnp.concatenate(build_parts)
+
+        # Compact away the per-segment capacity padding.
+        keep = jnp.zeros(flat_flags.shape[0], dtype=bool)
+        pos = 0
+        for (_, _, seg_total, out_cap) in segments:
+            keep = keep.at[pos:pos + out_cap].set(
+                jnp.arange(out_cap) < seg_total)
+            pos += out_cap
+        if mode in (JoinMode.LEFT, JoinMode.OUTER):
+            u_cap = probe_parts[len(segments)].shape[0]
+            keep = keep.at[pos:pos + u_cap].set(jnp.arange(u_cap) < n_unmatched)
+            pos += u_cap
+        if mode is JoinMode.OUTER:
+            bu_cap = probe_parts[-1].shape[0]
+            keep = keep.at[pos:pos + bu_cap].set(
+                jnp.arange(bu_cap) < n_build_unmatched)
+            pos += bu_cap
+
+        n_out = counts_rows + n_unmatched + n_build_unmatched
+        out_cap = bucket_capacity(max(n_out, 1))
+        sel = jnp.nonzero(keep, size=out_cap, fill_value=0)[0]
+        probe_idx = jnp.take(flat_probe, sel, axis=0)
+        build_idx = jnp.take(flat_build, sel, axis=0)
+        flags = jnp.take(flat_flags, sel, axis=0)
+
+        probe_ok = flags != 2
+        build_ok = flags >= 1  # 1 = both real, 2 = build real / probe NULL
+        probe_cols = _gather_columns(
+            probe_t, probe_idx,
+            probe_ok if mode is JoinMode.OUTER else None)
+        build_cols = _gather_columns(
+            build_t, build_idx,
+            build_ok if mode in (JoinMode.LEFT, JoinMode.OUTER) else None)
+
+        if swap_output:
+            cols = build_cols + probe_cols
+        else:
+            cols = probe_cols + build_cols
+        return Table(cols, n_out, name=probe_t.name)
+
+
+class JoinHash(Join):
+    """Equi-join entry point (reference JoinHash). Same engine; asserts
+    equi/!= hashable conditions like join_hash.cpp does."""
+
+    name = "JoinHash"
+
+    def __init__(self, left, right, mode, column_pair,
+                 cond=PredicateCondition.EQUALS):
+        assert cond is PredicateCondition.EQUALS, "JoinHash supports equi only"
+        super().__init__(left, right, mode, column_pair, cond)
+
+
+class JoinSortMerge(Join):
+    """Reference JoinSortMerge: equi and non-equi conditions."""
+
+    name = "JoinSortMerge"
+
+
+class JoinIndex(Join):
+    """Reference JoinIndex — our sorted build side IS the index."""
+
+    name = "JoinIndex"
+
+
+class JoinNestedLoop(AbstractOperator):
+    """True O(n·m) fallback with arbitrary row-pair predicate, evaluated in
+    column blocks (reference join_nested_loop.cpp). Used for correctness
+    cross-checks and exotic predicates; inner mode + all basic conds."""
+
+    name = "JoinNestedLoop"
+
+    def __init__(self, left, right, mode: JoinMode, column_pair,
+                 cond: PredicateCondition = PredicateCondition.EQUALS):
+        super().__init__(left, right)
+        assert mode in (JoinMode.INNER,), "JoinNestedLoop: inner only (v0)"
+        self.mode = mode
+        self.left_col, self.right_col = column_pair
+        self.cond = cond
+
+    def _on_execute(self, context) -> Table:
+        lt, rt = self.input_table(0), self.input_table(1)
+        lk, lv, rk, rv = _join_key_arrays(lt, rt, self.left_col, self.right_col)
+        lval = lt.live_mask() if lv is None else (lt.live_mask() & lv)
+        rval = rt.live_mask() if rv is None else (rt.live_mask() & rv)
+        from hyrise_tpu.expression.evaluator import _apply_cmp
+        pair = _apply_cmp(self.cond, lk[:, None], rk[None, :])
+        pair = pair & lval[:, None] & rval[None, :]
+        total = int(jnp.sum(pair))
+        out_cap = bucket_capacity(max(total, 1))
+        flat = pair.reshape(-1)
+        sel = jnp.nonzero(flat, size=out_cap, fill_value=0)[0]
+        probe_idx = (sel // rt.capacity).astype(jnp.int32)
+        build_idx = (sel % rt.capacity).astype(jnp.int32)
+        cols = _gather_columns(lt, probe_idx, None) + \
+            _gather_columns(rt, build_idx, None)
+        return Table(cols, total, name=lt.name)
+
+
+class Product(AbstractOperator):
+    """Cross join (reference product.cpp): PosList repetition becomes
+    broadcasted index generation."""
+
+    name = "Product"
+
+    def __init__(self, left, right):
+        super().__init__(left, right)
+
+    def _on_execute(self, context) -> Table:
+        lt, rt = self.input_table(0), self.input_table(1)
+        n, m = lt.num_rows, rt.num_rows
+        total = n * m
+        out_cap = bucket_capacity(max(total, 1))
+        idx = jnp.arange(out_cap, dtype=jnp.int32)
+        probe_idx = jnp.clip(idx // max(m, 1), 0, lt.capacity - 1)
+        build_idx = jnp.clip(idx % max(m, 1), 0, rt.capacity - 1)
+        cols = _gather_columns(lt, probe_idx, None) + \
+            _gather_columns(rt, build_idx, None)
+        return Table(cols, total, name=lt.name)

@@ -46,7 +46,11 @@ class Table:
         self.columns: List[Column] = list(columns)
         self.num_rows = int(num_rows)
         self.name = name
-        self._by_name: Dict[str, int] = {c.name: i for i, c in enumerate(columns)}
+        # Duplicate names can occur after joins (both sides kept, like the
+        # reference); lookup resolves to the FIRST occurrence.
+        self._by_name: Dict[str, int] = {}
+        for i, c in enumerate(columns):
+            self._by_name.setdefault(c.name, i)
 
     # -- constructors --------------------------------------------------------
 
