@@ -1,0 +1,168 @@
+"""Small operators: Limit, UnionAll, UnionPositions, Difference, Alias.
+
+Reference: src/lib/operators/{limit,union_all,union_positions,difference,
+alias_operator}.cpp.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyrise_tpu.ops.base import AbstractOperator
+from hyrise_tpu.storage.column import Column, merge_dictionaries
+from hyrise_tpu.storage.table import Table
+from hyrise_tpu.types import DataType, bucket_capacity
+
+
+class Limit(AbstractOperator):
+    """Reference: limit.cpp (expression-valued row limit)."""
+
+    name = "Limit"
+
+    def __init__(self, input_op: AbstractOperator, n: int):
+        super().__init__(input_op)
+        self.n = int(n)
+
+    def _on_execute(self, context) -> Table:
+        t = self.input_table(0)
+        return Table(t.columns, min(t.num_rows, self.n), name=t.name)
+
+
+class Alias(AbstractOperator):
+    """Reference: alias_operator.cpp — reorder/rename output columns."""
+
+    name = "Alias"
+
+    def __init__(self, input_op: AbstractOperator, names: Sequence[str],
+                 sources: Optional[Sequence[str]] = None):
+        super().__init__(input_op)
+        self.names = list(names)
+        self.sources = list(sources) if sources is not None else None
+
+    def _on_execute(self, context) -> Table:
+        t = self.input_table(0)
+        if self.sources is None:
+            assert len(self.names) == len(t.columns)
+            cols = [c.with_name(n) for c, n in zip(t.columns, self.names)]
+        else:
+            cols = [t.column(s).with_name(n)
+                    for s, n in zip(self.sources, self.names)]
+        return Table(cols, t.num_rows, name=t.name)
+
+
+def _align_columns(a: Column, b: Column):
+    """Make two columns concatenable: common dtype, merged dictionary."""
+    if (a.dtype is DataType.STRING) != (b.dtype is DataType.STRING):
+        raise TypeError("cannot union string with non-string")
+    if a.dtype is DataType.STRING:
+        if a.dictionary is b.dictionary or np.array_equal(a.dictionary, b.dictionary):
+            return a, b, a.dictionary
+        merged, ra, rb = merge_dictionaries(a.dictionary, b.dictionary)
+        da = jnp.asarray(ra)[a.data]
+        db = jnp.asarray(rb)[b.data]
+        return (Column(a.name, a.dtype, da, a.validity, merged),
+                Column(b.name, b.dtype, db, b.validity, merged), merged)
+    if a.dtype != b.dtype:
+        from hyrise_tpu.types import common_numeric_type
+        dt = common_numeric_type(a.dtype, b.dtype)
+        a = Column(a.name, dt, a.data.astype(dt.numpy_dtype), a.validity, None)
+        b = Column(b.name, dt, b.data.astype(dt.numpy_dtype), b.validity, None)
+    return a, b, None
+
+
+class UnionAll(AbstractOperator):
+    """Reference: union_all.cpp — concatenates the chunks of both inputs."""
+
+    name = "UnionAll"
+
+    def _on_execute(self, context) -> Table:
+        lt, rt = self.input_table(0), self.input_table(1)
+        assert len(lt.columns) == len(rt.columns)
+        n = lt.num_rows + rt.num_rows
+        cap = bucket_capacity(max(n, 1))
+        cols: List[Column] = []
+        for ca, cb in zip(lt.columns, rt.columns):
+            ca, cb, merged = _align_columns(ca, cb)
+            data = jnp.zeros(cap, dtype=ca.data.dtype)
+            data = data.at[:lt.num_rows].set(ca.data[:lt.num_rows])
+            data = data.at[lt.num_rows:n].set(cb.data[:rt.num_rows])
+            if ca.validity is not None or cb.validity is not None:
+                va = ca.validity if ca.validity is not None \
+                    else jnp.ones(lt.capacity, dtype=bool)
+                vb = cb.validity if cb.validity is not None \
+                    else jnp.ones(rt.capacity, dtype=bool)
+                v = jnp.zeros(cap, dtype=bool)
+                v = v.at[:lt.num_rows].set(va[:lt.num_rows])
+                v = v.at[lt.num_rows:n].set(vb[:rt.num_rows])
+            else:
+                v = None
+            cols.append(Column(ca.name, ca.dtype, data, v, merged if merged
+                               is not None else ca.dictionary))
+        return Table(cols, n, name=lt.name)
+
+
+class UnionPositions(AbstractOperator):
+    """Reference: union_positions.cpp — set union (dedup) of two same-schema
+    inputs; realized as concat + DISTINCT over all columns."""
+
+    name = "UnionPositions"
+
+    def _on_execute(self, context) -> Table:
+        from hyrise_tpu.ops.aggregate import Aggregate
+        from hyrise_tpu.ops.get_table import TableWrapper
+        concat = UnionAll(self.inputs[0], self.inputs[1])
+        concat.execute(context)
+        t = concat.get_output()
+        distinct = Aggregate(TableWrapper(t), t.column_names, [])
+        distinct.execute(context)
+        return distinct.get_output()
+
+
+class Difference(AbstractOperator):
+    """Reference: difference.cpp — rows of left not present in right (set
+    difference by full-row equality, realized via multi-column ANTI logic:
+    concatenate row-keys with a sort-based membership test)."""
+
+    name = "Difference"
+
+    def _on_execute(self, context) -> Table:
+        from hyrise_tpu.ops.join import _build_side, _probe_ranges
+        from hyrise_tpu.ops.materialize import filter_table
+        from hyrise_tpu.types import PredicateCondition
+
+        lt, rt = self.input_table(0), self.input_table(1)
+        assert len(lt.columns) == len(rt.columns)
+        # Align dictionaries/dtypes pairwise so codes are comparable, then
+        # hash whole rows into one 64-bit key per side (the reference
+        # concatenates the row as strings, difference.cpp).
+        l_cols, r_cols = [], []
+        for ca, cb in zip(lt.columns, rt.columns):
+            ca, cb, _ = _align_columns(ca, cb)
+            l_cols.append(ca)
+            r_cols.append(cb)
+        lk = _row_hash(Table(l_cols, lt.num_rows))
+        rk = _row_hash(Table(r_cols, rt.num_rows))
+        sorted_keys, perm, n_valid = _build_side(rk, rt.live_mask())
+        lo, counts = _probe_ranges(sorted_keys, n_valid, lk, lt.live_mask(),
+                                   PredicateCondition.EQUALS)
+        return filter_table(lt, counts == 0)
+
+
+def _row_hash(t: Table) -> jnp.ndarray:
+    h = jnp.zeros(t.capacity, dtype=jnp.uint64)
+    for c in t.columns:
+        v = c.data
+        if v.dtype.kind == "f":
+            # bitcast: equal floats hash equal, no truncation collisions
+            v = jax.lax.bitcast_convert_type(
+                v.astype(jnp.float64), jnp.int64).astype(jnp.uint64)
+        else:
+            v = v.astype(jnp.uint64)
+        if c.validity is not None:
+            v = jnp.where(c.validity, v, jnp.uint64(0x9E3779B97F4A7C15))
+        h = h * jnp.uint64(1099511628211) + v + jnp.uint64(1)
+    return h.astype(jnp.int64)
