@@ -1,0 +1,106 @@
+"""Benchmark entry point (driver contract: prints ONE JSON line).
+
+Runs TPC-H Q6 at SF (env BENCH_SF, default 1.0) on the available device
+(real TPU chip under axon; CPU otherwise): fused single-pass scan+aggregate
+kernel over device-resident dictionary/value columns.
+
+Metric: wall-clock ms per Q6 execution (median of timed runs, after warmup).
+vs_baseline: speedup vs the value recorded in BENCH_BASELINE.json (first
+round records itself -> 1.0).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    sf = float(os.environ.get("BENCH_SF", "1.0"))
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    log(f"devices: {jax.devices()}")
+
+    t0 = time.time()
+    from hyrise_tpu.tpch import dbgen
+
+    rng = np.random.default_rng(19940607)
+    # bench only needs lineitem's Q6 columns; generate orders/lineitem
+    C = max(int(150000 * sf), 3)
+    P = max(int(200000 * sf), 8)
+    S = max(int(10000 * sf), 1)
+    pk = np.arange(1, P + 1, dtype=np.int64)
+    retail = ((90000 + ((pk // 10) % 20001) + 100 * (pk % 1000)) / 100.0
+              ).astype(np.float32)
+    _, O, l_specs, L = dbgen.gen_orders_lineitem(rng, sf, C, P, S, retail)
+    cols = {name: payload for name, _, payload in l_specs}
+    log(f"generated lineitem SF{sf}: {L} rows in {time.time() - t0:.1f}s")
+
+    t0 = time.time()
+    from hyrise_tpu.types import bucket_capacity
+
+    cap = bucket_capacity(L)
+
+    def pad(a, dtype):
+        out = np.zeros(cap, dtype=dtype)
+        out[:L] = a
+        return jnp.asarray(out)
+
+    shipdate_codes, date_dict = cols["l_shipdate"]
+    shipdate = pad(shipdate_codes, np.int32)
+    discount = pad(cols["l_discount"], np.float32)
+    quantity = pad(cols["l_quantity"], np.float32)
+    eprice = pad(cols["l_extendedprice"], np.float32)
+    live = jnp.asarray(np.arange(cap) < L)
+    date_lo = jnp.int32(int(np.searchsorted(date_dict, "1994-01-01")))
+    date_hi = jnp.int32(int(np.searchsorted(date_dict, "1995-01-01")))
+    for a in (shipdate, discount, quantity, eprice, live):
+        a.block_until_ready()
+    log(f"uploaded {4 * cap * 4 / 1e6:.0f}MB to device in {time.time() - t0:.1f}s")
+
+    from hyrise_tpu.kernels.q6 import q6_jit
+
+    # warmup / compile
+    t0 = time.time()
+    rev = q6_jit(shipdate, discount, quantity, eprice, live, date_lo, date_hi)
+    rev.block_until_ready()
+    log(f"compile+first run {time.time() - t0:.1f}s, revenue={float(rev):.2f}")
+
+    times = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        q6_jit(shipdate, discount, quantity, eprice, live, date_lo,
+               date_hi).block_until_ready()
+        times.append((time.perf_counter() - t0) * 1e3)
+    med = sorted(times)[len(times) // 2]
+    rows_per_s = L / (med / 1e3)
+    log(f"Q6 SF{sf}: median {med:.3f}ms over {len(times)} runs "
+        f"({rows_per_s / 1e9:.2f}B rows/s) min {min(times):.3f}ms")
+
+    baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                 "BENCH_BASELINE.json")
+    vs = 1.0
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            base = json.load(f)
+        if base.get("metric") == "tpch_q6_sf1_ms" and base.get("value"):
+            vs = base["value"] / med
+
+    print(json.dumps({
+        "metric": "tpch_q6_sf1_ms",
+        "value": round(med, 3),
+        "unit": "ms",
+        "vs_baseline": round(vs, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,184 @@
+"""Fused scan→project→aggregate pipelines.
+
+The XLA-native realization of the reference's JIT operator subsystem
+(reference: src/lib/operators/jit_operator/, 6.9k LoC: JitOperatorWrapper
+chains JitReadTuples → JitFilter → JitCompute → JitAggregate over a fused
+per-tuple loop, specialized at runtime with LLVM ORC). On TPU the equivalent
+is: compile the predicate + aggregate-input expressions + masked segmented
+reductions into ONE jitted XLA program, so the input columns stream from HBM
+exactly once and all elementwise work fuses into that pass. This is the hot
+path for TPC-H Q1/Q6 (BASELINE configs 1-2).
+
+`FusedFilterAggregate` is a drop-in replacement for TableScan → Aggregate
+when every group-by column is dictionary-encoded (the group domain is the
+cross product of dictionary sizes — the Q1 shape: 3×2 cells). The general
+high-cardinality path stays in ops/aggregate.py.
+
+The jitted closure is cached on the operator, so repeated executions (bench
+loops) re-trace nothing.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyrise_tpu.expression.ast import AggregateExpr, Expr
+from hyrise_tpu.expression.evaluator import compile_expression, make_env
+from hyrise_tpu.ops.base import AbstractOperator
+from hyrise_tpu.storage.column import Column
+from hyrise_tpu.storage.table import Table
+from hyrise_tpu.types import (AggregateFunction, DataType,
+                              aggregate_result_type, bucket_capacity)
+
+
+class FusedFilterAggregate(AbstractOperator):
+    name = "FusedFilterAggregate"
+
+    def __init__(self, input_op: AbstractOperator,
+                 predicate: Optional[Expr],
+                 groupby: Sequence[str],
+                 aggregates: Sequence[Tuple[str, AggregateExpr]]):
+        super().__init__(input_op)
+        self.predicate = predicate
+        self.groupby = list(groupby)
+        self.aggregates = list(aggregates)
+        self._jitted = None
+        self._meta = None
+
+    # ------------------------------------------------------------------
+
+    def _build(self, table: Table):
+        sizes = []
+        for name in self.groupby:
+            c = table.column(name)
+            if c.dtype is not DataType.STRING:
+                raise TypeError("fused group-by requires dictionary columns")
+            sizes.append(max(len(c.dictionary), 1))
+        n_cells = int(np.prod(sizes)) if sizes else 1
+
+        pred_ce = (compile_expression(self.predicate, table)
+                   if self.predicate is not None else None)
+        agg_specs = []  # (out_name, fn, compiled_arg|None, in_dtype)
+        for out_name, agg in self.aggregates:
+            if agg.arg is None:
+                agg_specs.append((out_name, agg.fn, None, DataType.INT64))
+            else:
+                ce = compile_expression(agg.arg, table)
+                agg_specs.append((out_name, agg.fn, ce, ce.dtype))
+
+        required = set(self.groupby)
+        if pred_ce is not None:
+            required.update(pred_ce.required)
+        for _, _, ce, _ in agg_specs:
+            if ce is not None:
+                required.update(ce.required)
+        required = sorted(required)
+
+        groupby = list(self.groupby)
+
+        def compute(env, num_rows):
+            cap = env[required[0]][0].shape[0]
+            live = jnp.arange(cap) < num_rows
+            if pred_ce is not None:
+                d, v = pred_ce.fn(env)
+                mask = d.astype(bool)
+                if v is not None:
+                    mask = mask & v
+                mask = mask & live
+            else:
+                mask = live
+
+            if sizes:
+                cell = jnp.zeros(cap, dtype=jnp.int32)
+                for gname, size in zip(groupby, sizes):
+                    cell = cell * size + env[gname][0]
+            else:
+                cell = jnp.zeros(cap, dtype=jnp.int32)
+            seg = n_cells + 1
+            cell = jnp.where(mask, cell, n_cells)  # dead rows -> extra segment
+
+            counts = jax.ops.segment_sum(
+                jnp.ones(cap, dtype=jnp.int64), cell,
+                num_segments=seg)[:n_cells]
+            outs = [counts]
+            for _, fn, ce, _ in agg_specs:
+                if ce is None:  # COUNT(*)
+                    outs.append(counts)
+                    continue
+                vals, v = ce.fn(env)
+                vals64 = vals.astype(jnp.float64)
+                m = mask if v is None else (mask & v)
+                cell_m = jnp.where(m, cell, n_cells)
+                if fn is AggregateFunction.SUM:
+                    r = jax.ops.segment_sum(
+                        jnp.where(m, vals64, 0.0), cell_m,
+                        num_segments=seg)[:n_cells]
+                elif fn is AggregateFunction.COUNT:
+                    r = jax.ops.segment_sum(
+                        m.astype(jnp.int64), cell_m, num_segments=seg)[:n_cells]
+                elif fn is AggregateFunction.AVG:
+                    s = jax.ops.segment_sum(
+                        jnp.where(m, vals64, 0.0), cell_m,
+                        num_segments=seg)[:n_cells]
+                    c = jax.ops.segment_sum(
+                        m.astype(jnp.float64), cell_m,
+                        num_segments=seg)[:n_cells]
+                    r = s / jnp.maximum(c, 1.0)
+                elif fn is AggregateFunction.MIN:
+                    r = jax.ops.segment_min(
+                        jnp.where(m, vals64, jnp.inf), cell_m,
+                        num_segments=seg)[:n_cells]
+                elif fn is AggregateFunction.MAX:
+                    r = jax.ops.segment_max(
+                        jnp.where(m, vals64, -jnp.inf), cell_m,
+                        num_segments=seg)[:n_cells]
+                else:
+                    raise NotImplementedError(fn)
+                outs.append(r)
+            return outs
+
+        self._jitted = jax.jit(compute, static_argnames=("num_rows",))
+        self._meta = (sizes, n_cells, agg_specs, required)
+
+    # ------------------------------------------------------------------
+
+    def _on_execute(self, context) -> Table:
+        table = self.input_table(0)
+        if self._jitted is None:
+            self._build(table)
+        sizes, n_cells, agg_specs, required = self._meta
+        env = make_env(table, required)
+        outs = self._jitted(env, num_rows=table.num_rows)
+        counts, aggs = outs[0], outs[1:]
+
+        if sizes:
+            nonempty = counts > 0
+            n_groups = int(jnp.sum(nonempty))
+            cap = bucket_capacity(max(n_groups, 1))
+            sel = jnp.nonzero(nonempty, size=cap, fill_value=0)[0]
+        else:
+            n_groups, cap = 1, 1
+            sel = jnp.zeros(1, dtype=jnp.int64)
+
+        cols: List[Column] = []
+        stride = n_cells
+        for gi, name in enumerate(self.groupby):
+            c = table.column(name)
+            stride //= sizes[gi]
+            codes = (sel // stride) % sizes[gi]
+            cols.append(Column(name, DataType.STRING,
+                               codes.astype(jnp.int32), None, c.dictionary))
+        sel_counts = jnp.take(counts, sel, axis=0)
+        for (out_name, fn, ce, in_dt), data in zip(agg_specs, aggs):
+            data = jnp.take(data, sel, axis=0)
+            out_dt = aggregate_result_type(fn, in_dt)
+            valid = None
+            if fn not in (AggregateFunction.COUNT,):
+                valid = sel_counts > 0
+            cols.append(Column(out_name, out_dt,
+                               data.astype(out_dt.numpy_dtype), valid, None))
+        return Table(cols, n_groups, name=table.name)

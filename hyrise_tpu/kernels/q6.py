@@ -1,0 +1,43 @@
+"""Standalone fused Q6 kernel — the flagship single-chip program.
+
+One XLA program: 4-predicate scan + masked product-sum over lineitem
+(BASELINE config 1). Dates are dictionary codes, so date range predicates are
+integer compares (the reference's ValueID rewrite). Kept free of engine
+types so __graft_entry__ and bench.py can feed raw arrays.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def q6_compute(shipdate_codes: jax.Array,   # int32 dictionary codes
+               discount: jax.Array,         # float32
+               quantity: jax.Array,         # float32
+               extendedprice: jax.Array,    # float32
+               live: jax.Array,             # bool
+               date_lo: jax.Array,          # int32 scalar: code('1994-01-01')
+               date_hi: jax.Array,          # int32 scalar: code('1995-01-01')
+               ) -> jax.Array:
+    mask = (live
+            & (shipdate_codes >= date_lo)
+            & (shipdate_codes < date_hi)
+            & (discount >= jnp.float32(0.05))
+            & (discount <= jnp.float32(0.07001))
+            & (quantity < jnp.float32(24.0)))
+    rev = extendedprice * discount
+    masked = jnp.where(mask, rev, jnp.float32(0.0))
+    # Blocked accumulation: float64 is software-emulated on TPU, so keep the
+    # streaming pass in f32 (full HBM bandwidth) and pay f64 only for the
+    # tiny cross-block reduction. Error: <= 512 f32 adds per block.
+    block = 512
+    n = masked.shape[0]
+    pad = (-n) % block
+    if pad:
+        masked = jnp.pad(masked, (0, pad))
+    partials = jnp.sum(masked.reshape(-1, block), axis=1)
+    return jnp.sum(partials.astype(jnp.float64))
+
+
+q6_jit = jax.jit(q6_compute)

@@ -113,13 +113,13 @@ class UnionPositions(AbstractOperator):
 
     def _on_execute(self, context) -> Table:
         from hyrise_tpu.ops.aggregate import Aggregate
+        from hyrise_tpu.ops.base import execute_plan
         from hyrise_tpu.ops.get_table import TableWrapper
         concat = UnionAll(self.inputs[0], self.inputs[1])
         concat.execute(context)
         t = concat.get_output()
-        distinct = Aggregate(TableWrapper(t), t.column_names, [])
-        distinct.execute(context)
-        return distinct.get_output()
+        return execute_plan(Aggregate(TableWrapper(t), t.column_names, []),
+                            context)
 
 
 class Difference(AbstractOperator):

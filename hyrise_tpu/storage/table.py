@@ -46,6 +46,7 @@ class Table:
         self.columns: List[Column] = list(columns)
         self.num_rows = int(num_rows)
         self.name = name
+        self.mvcc = None  # set to MvccData for transactional tables
         # Duplicate names can occur after joins (both sides kept, like the
         # reference); lookup resolves to the FIRST occurrence.
         self._by_name: Dict[str, int] = {}
