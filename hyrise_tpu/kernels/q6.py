@@ -41,3 +41,24 @@ def q6_compute(shipdate_codes: jax.Array,   # int32 dictionary codes
 
 
 q6_jit = jax.jit(q6_compute)
+
+
+def q6_chain(shipdate_codes, discount, quantity, extendedprice, live,
+             date_lo, date_hi, k: int = 16):
+    """Run the Q6 body k times sequentially inside ONE program, with a
+    data dependence between iterations so XLA cannot collapse them. Used for
+    timing: per-query time = total / k, amortizing per-dispatch host<->device
+    round trips (significant under the remote axon tunnel)."""
+
+    def body(i, acc):
+        # data-dependent perturbation (low bit of the running sum) so XLA
+        # cannot hoist the body out of the loop as loop-invariant
+        lo = date_lo + (acc.astype(jnp.int64).astype(jnp.int32) & 1)
+        r = q6_compute(shipdate_codes, discount, quantity, extendedprice,
+                       live, lo, date_hi)
+        return acc + r
+
+    return jax.lax.fori_loop(0, k, body, jnp.float64(0.0))
+
+
+q6_chain_jit = jax.jit(q6_chain, static_argnames=("k",))

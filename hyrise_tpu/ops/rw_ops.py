@@ -104,10 +104,12 @@ def _append_rows(target: Table, values: Table, catalog: Catalog) -> Table:
             vals = vc.decode(n_new)
             merged = np.unique(np.concatenate([c.dictionary,
                                                vals[vals != None]. astype(str)]))  # noqa: E711
-            if len(merged) != len(c.dictionary) or not np.array_equal(
-                    merged, c.dictionary):
+            if len(c.dictionary) and (len(merged) != len(c.dictionary)
+                                      or not np.array_equal(merged,
+                                                            c.dictionary)):
                 remap = np.searchsorted(merged, c.dictionary)
-                data = remap[data].astype(np.int32)
+                data = remap[np.clip(data, 0, len(c.dictionary) - 1)] \
+                    .astype(np.int32)
             codes = np.searchsorted(merged,
                                     np.array([v if v is not None else merged[0]
                                               for v in vals], dtype=str))

@@ -1,0 +1,134 @@
+"""Operator DAG scheduler.
+
+Reference: src/lib/scheduler/ —
+- AbstractTask with predecessor/successor edges, ready when
+  _pending_predecessors == 0 (abstract_task.hpp:36-146),
+- OperatorTask wrapping one operator (operator_task.cpp:25-58:
+  make_tasks_from_operator does a post-order DAG walk),
+- NodeQueueScheduler with per-NUMA-node queues + worker threads
+  (node_queue_scheduler.cpp:30-122),
+- CurrentScheduler static facade with an execute-immediately fallback
+  (current_scheduler.hpp:19-80).
+
+TPU redesign: device work is async under XLA already, so workers exist to
+overlap HOST-side work (expression compilation, count syncs, dispatch) of
+INDEPENDENT plan branches. A small thread pool replaces per-NUMA queues —
+placement is the mesh's job (parallel/partition.py), not the scheduler's.
+The single-threaded fallback (no scheduler set) executes inline, like the
+reference.
+"""
+
+from __future__ import annotations
+
+import threading
+from concurrent.futures import Future, ThreadPoolExecutor
+from typing import Dict, List, Optional
+
+from hyrise_tpu.ops.base import AbstractOperator
+from hyrise_tpu.storage.table import Table
+
+
+class OperatorTask:
+    """Reference: scheduler/operator_task.hpp — one task per operator."""
+
+    def __init__(self, op: AbstractOperator):
+        self.op = op
+        self.predecessors: List["OperatorTask"] = []
+        self.successors: List["OperatorTask"] = []
+
+    def set_as_predecessor_of(self, other: "OperatorTask") -> None:
+        self.successors.append(other)
+        other.predecessors.append(self)
+
+    @staticmethod
+    def make_tasks_from_operator(root: AbstractOperator) -> List["OperatorTask"]:
+        """Post-order DAG walk; shared sub-operators become one task
+        (reference: operator_task.cpp:25-58)."""
+        tasks: Dict[int, OperatorTask] = {}
+        order: List[OperatorTask] = []
+
+        def walk(op: AbstractOperator) -> OperatorTask:
+            if id(op) in tasks:
+                return tasks[id(op)]
+            t = OperatorTask(op)
+            tasks[id(op)] = t
+            for i in op.inputs:
+                walk(i).set_as_predecessor_of(t)
+            order.append(t)
+            return t
+
+        walk(root)
+        return order
+
+
+class ImmediateScheduler:
+    """Single-threaded fallback (reference: AbstractTask::schedule() with no
+    scheduler set executes on the caller)."""
+
+    def schedule_and_wait(self, tasks: List[OperatorTask], context=None) -> None:
+        for t in tasks:  # already topologically ordered (post-order)
+            t.op.execute(context)
+
+
+class PoolScheduler:
+    """Thread-pool DAG scheduler (reference: NodeQueueScheduler). Tasks run
+    as soon as all predecessors finished; independent branches overlap."""
+
+    def __init__(self, workers: int = 4):
+        self.workers = workers
+
+    def schedule_and_wait(self, tasks: List[OperatorTask], context=None) -> None:
+        pending = {id(t): len(t.predecessors) for t in tasks}
+        lock = threading.Lock()
+        done = threading.Event()
+        remaining = [len(tasks)]
+        errors: List[BaseException] = []
+
+        with ThreadPoolExecutor(max_workers=self.workers) as pool:
+            def run(task: OperatorTask):
+                try:
+                    task.op.execute(context)
+                except BaseException as e:  # propagate to caller
+                    with lock:
+                        errors.append(e)
+                        done.set()
+                    return
+                ready = []
+                with lock:
+                    remaining[0] -= 1
+                    if remaining[0] == 0:
+                        done.set()
+                    for s in task.successors:
+                        pending[id(s)] -= 1
+                        if pending[id(s)] == 0:
+                            ready.append(s)
+                for s in ready:
+                    pool.submit(run, s)
+
+            roots = [t for t in tasks if not t.predecessors]
+            if not roots:
+                return
+            for r in roots:
+                pool.submit(run, r)
+            done.wait()
+        if errors:
+            raise errors[0]
+
+
+_current: Optional[object] = None
+
+
+def set_scheduler(s) -> None:
+    """Reference: CurrentScheduler::set()."""
+    global _current
+    _current = s
+
+
+def current_scheduler():
+    return _current if _current is not None else ImmediateScheduler()
+
+
+def schedule_plan(root: AbstractOperator, context=None) -> Table:
+    tasks = OperatorTask.make_tasks_from_operator(root)
+    current_scheduler().schedule_and_wait(tasks, context)
+    return root.get_output()

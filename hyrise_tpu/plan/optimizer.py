@@ -1,0 +1,332 @@
+"""Rule-based LQP optimizer.
+
+Reference: src/lib/optimizer/optimizer.cpp:83-144 — rule batches:
+Once{ColumnPruning}, Iterative<=100{PredicatePushdown, PredicateReordering,
+JoinDetection}, Once{ChunkPruning, ConstantCalculation, IndexScan}.
+
+Implemented rules:
+- ConstantCalculationRule: fold literal-only arithmetic subtrees.
+- JoinDetectionRule: CROSS join + equality predicate across sides -> equi
+  join (reference: strategy/join_detection_rule.cpp).
+- PredicatePushdownRule: push predicates below projections/sorts and into
+  join sides whose columns satisfy them (strategy/predicate_pushdown_rule).
+- PredicateReorderingRule: order consecutive predicates by estimated
+  selectivity, most selective first (strategy/predicate_reordering_rule).
+- ColumnPruningRule: prune unused stored-table columns (projection insertion
+  at the leaves; strategy/column_pruning_rule).
+
+Block/chunk pruning (reference ChunkPruningRule) is subsumed by scans being
+whole-column vectorized ops; min-max block skipping is a kernel-level
+concern on TPU (planned in kernels/), not a plan rewrite.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Set
+
+from hyrise_tpu.expression import ast
+from hyrise_tpu.plan import lqp as L
+from hyrise_tpu.plan.statistics import (TableStatistics,
+                                        estimate_predicate_selectivity)
+from hyrise_tpu.types import JoinMode, PredicateCondition
+
+
+# ---------------------------------------------------------------------------
+# helpers
+
+def _output_columns(node: L.LQPNode, catalog) -> Optional[List[str]]:
+    """Best-effort output column list of an LQP node (None = unknown)."""
+    if isinstance(node, L.StoredTableNode):
+        if node.pruned_columns is not None:
+            return list(node.pruned_columns)
+        if catalog is not None and catalog.has_table(node.table_name):
+            return catalog.get_table(node.table_name).column_names
+        return None
+    if isinstance(node, L.StaticTableNode):
+        return node.table.column_names
+    if isinstance(node, L.ProjectionNode):
+        return [o if isinstance(o, str) else o[0] for o in node.outputs]
+    if isinstance(node, L.AggregateNode):
+        return list(node.groupby) + [n for n, _ in node.aggregates]
+    if isinstance(node, L.AliasNode):
+        if node.sources is not None:
+            return list(node.names)
+        child = _output_columns(node.children[0], catalog)
+        return list(node.names) if child is not None else list(node.names)
+    if isinstance(node, L.JoinNode):
+        l = _output_columns(node.children[0], catalog)
+        r = _output_columns(node.children[1], catalog)
+        if node.mode in (JoinMode.SEMI, JoinMode.ANTI):
+            return l
+        if l is None or r is None:
+            return None
+        return l + r
+    if isinstance(node, (L.PredicateNode, L.SortNode, L.LimitNode,
+                         L.ValidateNode, L.DistinctNode)):
+        return _output_columns(node.children[0], catalog)
+    if isinstance(node, L.UnionNode):
+        return _output_columns(node.children[0], catalog)
+    return None
+
+
+# ---------------------------------------------------------------------------
+# rules
+
+class ConstantCalculationRule:
+    """Fold arithmetic over literals inside all expressions."""
+
+    def apply(self, root: L.LQPNode, catalog) -> L.LQPNode:
+        def fold_expr(e: ast.Expr) -> ast.Expr:
+            if isinstance(e, ast.Arithmetic):
+                l, r = fold_expr(e.left), fold_expr(e.right)
+                if isinstance(l, ast.Literal) and isinstance(r, ast.Literal) \
+                        and l.value is not None and r.value is not None \
+                        and not isinstance(l.value, str):
+                    try:
+                        v = {"+": lambda a, b: a + b,
+                             "-": lambda a, b: a - b,
+                             "*": lambda a, b: a * b,
+                             "/": lambda a, b: a / b if b else 0,
+                             "%": lambda a, b: a % b if b else 0}[e.op](
+                                 l.value, r.value)
+                        return ast.Literal(v)
+                    except Exception:
+                        pass
+                e.left, e.right = l, r
+                return e
+            for attr in ("left", "right", "value", "lower", "upper"):
+                if hasattr(e, attr) and isinstance(getattr(e, attr), ast.Expr):
+                    setattr(e, attr, fold_expr(getattr(e, attr)))
+            return e
+
+        def visit(n: L.LQPNode) -> L.LQPNode:
+            if isinstance(n, L.PredicateNode):
+                n.predicate = fold_expr(n.predicate)
+            if isinstance(n, L.ProjectionNode):
+                n.outputs = [o if isinstance(o, str) else (o[0], fold_expr(o[1]))
+                             for o in n.outputs]
+            return n
+
+        return L.map_lqp(root, visit)
+
+
+class JoinDetectionRule:
+    """Predicate(l == r) over CrossJoin -> equi JoinNode when l and r come
+    from different sides."""
+
+    def apply(self, root: L.LQPNode, catalog) -> L.LQPNode:
+        def visit(n: L.LQPNode) -> L.LQPNode:
+            if not (isinstance(n, L.PredicateNode)
+                    and isinstance(n.children[0], L.JoinNode)
+                    and n.children[0].mode is JoinMode.CROSS):
+                return n
+            join = n.children[0]
+            p = n.predicate
+            if not (isinstance(p, ast.Comparison)
+                    and isinstance(p.left, ast.ColumnRef)
+                    and isinstance(p.right, ast.ColumnRef)):
+                return n
+            lcols = _output_columns(join.children[0], catalog)
+            rcols = _output_columns(join.children[1], catalog)
+            if lcols is None or rcols is None:
+                return n
+            a, b = p.left.name, p.right.name
+            if a in lcols and b in rcols:
+                lc, rc = a, b
+            elif b in lcols and a in rcols:
+                lc, rc = b, a
+            else:
+                return n
+            return L.JoinNode(JoinMode.INNER, join.children[0],
+                              join.children[1], lc, rc, p.cond
+                              if a in lcols else p.cond.flipped())
+
+        return L.map_lqp(root, visit)
+
+
+class PredicatePushdownRule:
+    """Push PredicateNodes toward the leaves."""
+
+    def apply(self, root: L.LQPNode, catalog) -> L.LQPNode:
+        changed = [True]
+
+        def visit(n: L.LQPNode) -> L.LQPNode:
+            if not isinstance(n, L.PredicateNode):
+                return n
+            child = n.children[0]
+            needed = set(n.predicate.columns())
+            # below Sort / Validate / another-predicate reordering is handled
+            # elsewhere; push below Sort and Alias-free Projections
+            if isinstance(child, L.SortNode):
+                n.children[0] = child.children[0]
+                child.children[0] = n
+                changed[0] = True
+                return child
+            if isinstance(child, L.ProjectionNode):
+                # only if all needed columns are pass-through names
+                passthrough = {o for o in child.outputs if isinstance(o, str)}
+                passthrough |= {o[0] for o in child.outputs
+                                if not isinstance(o, str)
+                                and isinstance(o[1], ast.ColumnRef)
+                                and o[0] == o[1].name}
+                if needed <= passthrough:
+                    n.children[0] = child.children[0]
+                    child.children[0] = n
+                    changed[0] = True
+                    return child
+                return n
+            if isinstance(child, L.JoinNode) and child.mode in (
+                    JoinMode.INNER, JoinMode.CROSS, JoinMode.SEMI,
+                    JoinMode.ANTI):
+                lcols = _output_columns(child.children[0], catalog)
+                rcols = _output_columns(child.children[1], catalog)
+                if child.mode in (JoinMode.SEMI, JoinMode.ANTI):
+                    rcols = None  # only the probe side survives a semi/anti
+                if lcols is not None and needed <= set(lcols):
+                    child.children[0] = L.PredicateNode(n.predicate,
+                                                        child.children[0])
+                    changed[0] = True
+                    return child
+                if rcols is not None and needed <= set(rcols):
+                    child.children[1] = L.PredicateNode(n.predicate,
+                                                        child.children[1])
+                    changed[0] = True
+                    return child
+            return n
+
+        while changed[0]:
+            changed[0] = False
+            root = L.map_lqp(root, visit)
+        return root
+
+
+class PredicateReorderingRule:
+    """Sort consecutive predicates most-selective-first (reference:
+    predicate_reordering_rule.cpp — descending selectivity toward the top,
+    i.e. the cheapest filter runs first on the most rows)."""
+
+    def __init__(self, stats: Optional[Dict[str, TableStatistics]] = None):
+        self.stats = stats or {}
+
+    def _table_stats(self, node: L.LQPNode) -> Optional[TableStatistics]:
+        while node.children:
+            node = node.children[0]
+        if isinstance(node, L.StoredTableNode):
+            return self.stats.get(node.table_name)
+        return None
+
+    def apply(self, root: L.LQPNode, catalog) -> L.LQPNode:
+        def visit(n: L.LQPNode) -> L.LQPNode:
+            if not (isinstance(n, L.PredicateNode)
+                    and isinstance(n.children[0], L.PredicateNode)):
+                return n
+            chain = [n]
+            cur = n
+            while isinstance(cur.children[0], L.PredicateNode):
+                cur = cur.children[0]
+                chain.append(cur)
+            below = cur.children[0]
+            ts = self._table_stats(below)
+            sel = [(estimate_predicate_selectivity(ts, p.predicate), p)
+                   for p in chain]
+            # most selective (lowest selectivity) closest to the source
+            sel.sort(key=lambda x: x[0], reverse=True)
+            top = sel[0][1]
+            for (_, a), (_, b) in zip(sel, sel[1:]):
+                a.children[0] = b
+            sel[-1][1].children[0] = below
+            return top
+
+        return L.map_lqp(root, visit)
+
+
+class ColumnPruningRule:
+    """Record required columns on StoredTableNodes so the translator can
+    insert narrow projections at the leaves."""
+
+    def apply(self, root: L.LQPNode, catalog) -> L.LQPNode:
+        if catalog is None:
+            return root
+        required: Dict[int, Set[str]] = {}
+
+        def collect(n: L.LQPNode):
+            # any column referenced anywhere in the plan is required
+            cols: Set[str] = set()
+            if isinstance(n, L.PredicateNode):
+                cols |= set(n.predicate.columns())
+            elif isinstance(n, L.ProjectionNode):
+                for o in n.outputs:
+                    if isinstance(o, str):
+                        cols.add(o)
+                    else:
+                        cols |= set(o[1].columns())
+            elif isinstance(n, L.AggregateNode):
+                cols |= set(n.groupby)
+                for _, a in n.aggregates:
+                    if a.arg is not None:
+                        cols |= set(a.arg.columns())
+            elif isinstance(n, L.JoinNode):
+                if n.left_col:
+                    cols.add(n.left_col)
+                if n.right_col:
+                    cols.add(n.right_col)
+            elif isinstance(n, L.SortNode):
+                cols |= {c for c, _ in n.sort_defs}
+            elif isinstance(n, L.AliasNode) and n.sources is not None:
+                cols |= set(n.sources)
+            elif isinstance(n, L.AliasNode) and n.sources is None:
+                return None  # positional alias: needs all columns
+            elif isinstance(n, (L.UnionNode, L.DistinctNode, L.InsertNode,
+                                L.DeleteNode, L.UpdateNode)):
+                return None  # conservative: all columns
+            return cols
+
+        all_required: Set[str] = set()
+        conservative = [False]
+
+        def walk(n: L.LQPNode):
+            c = collect(n)
+            if c is None:
+                conservative[0] = True
+            else:
+                all_required.update(c)
+            for ch in n.children:
+                walk(ch)
+
+        walk(root)
+        # also keep the final output columns
+        out = _output_columns(root, catalog)
+        if out is not None:
+            all_required.update(out)
+        if conservative[0]:
+            return root
+
+        def visit(n: L.LQPNode) -> L.LQPNode:
+            if isinstance(n, L.StoredTableNode) and n.pruned_columns is None \
+                    and catalog.has_table(n.table_name):
+                cols = catalog.get_table(n.table_name).column_names
+                keep = [c for c in cols if c in all_required]
+                if keep and len(keep) < len(cols):
+                    n.pruned_columns = keep
+            return n
+
+        return L.map_lqp(root, visit)
+
+
+class Optimizer:
+    """Reference: optimizer.cpp:83-144 rule-batch driver."""
+
+    def __init__(self, stats: Optional[Dict[str, TableStatistics]] = None):
+        self.stats = stats or {}
+
+    def optimize(self, root: L.LQPNode, catalog=None) -> L.LQPNode:
+        root = ConstantCalculationRule().apply(root, catalog)
+        for _ in range(100):  # iterative batch
+            before = root.describe()
+            root = JoinDetectionRule().apply(root, catalog)
+            root = PredicatePushdownRule().apply(root, catalog)
+            root = PredicateReorderingRule(self.stats).apply(root, catalog)
+            if root.describe() == before:
+                break
+        root = ColumnPruningRule().apply(root, catalog)
+        return root

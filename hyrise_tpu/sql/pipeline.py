@@ -1,0 +1,327 @@
+"""SQL pipeline: parse -> translate -> optimize -> physical plan -> execute.
+
+Reference: src/lib/sql/ —
+- SQLPipelineBuilder (sql_pipeline_builder.*): fluent config (disable MVCC,
+  custom optimizer, plan cache).
+- SQLPipeline / SQLPipelineStatement (sql_pipeline_statement.cpp:49-283):
+  per-statement stages with metrics (parse/translate/optimize/compile/
+  execute micros), query-plan cache keyed by SQL text, prepared statements
+  with parameter substitution, auto-commit for DML.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from collections import OrderedDict
+from typing import Dict, List, Optional
+
+from hyrise_tpu.concurrency.transaction import (TransactionManager,
+                                                default_transaction_manager)
+from hyrise_tpu.expression import ast
+from hyrise_tpu.ops.base import execute_plan
+from hyrise_tpu.plan import lqp as L
+from hyrise_tpu.plan.optimizer import Optimizer
+from hyrise_tpu.plan.translator import translate_lqp
+from hyrise_tpu.sql import parser as P
+from hyrise_tpu.sql.translator import (ScalarSubquery, SQLToLQPTranslator,
+                                       SQLTranslationError)
+from hyrise_tpu.storage.catalog import Catalog, default_catalog
+from hyrise_tpu.storage.table import Table
+
+
+@dataclasses.dataclass
+class StatementMetrics:
+    """Reference: SQLPipelineStatementMetrics (sql_pipeline.hpp:17-25)."""
+
+    parse_s: float = 0.0
+    translate_s: float = 0.0
+    optimize_s: float = 0.0
+    compile_s: float = 0.0
+    execute_s: float = 0.0
+    cache_hit: bool = False
+
+
+class LRUCache:
+    """Reference: sql/sql_query_cache.hpp (LRU policy; GDFS etc. are
+    plug-in policies there — LRU is the default behavior)."""
+
+    def __init__(self, capacity: int = 256):
+        self.capacity = capacity
+        self._d: OrderedDict = OrderedDict()
+
+    def get(self, key):
+        if key in self._d:
+            self._d.move_to_end(key)
+            return self._d[key]
+        return None
+
+    def put(self, key, value):
+        self._d[key] = value
+        self._d.move_to_end(key)
+        while len(self._d) > self.capacity:
+            self._d.popitem(last=False)
+
+    def clear(self):
+        self._d.clear()
+
+
+_plan_cache = LRUCache()
+_prepared: Dict[str, object] = {}
+
+
+class SQLPipelineStatement:
+    def __init__(self, stmt, sql_text: str, catalog: Catalog,
+                 tm: TransactionManager, use_mvcc: bool,
+                 optimizer: Optional[Optimizer], use_cache: bool,
+                 context=None, params: Optional[List[object]] = None):
+        self.stmt = stmt
+        self.sql_text = sql_text
+        self.catalog = catalog
+        self.tm = tm
+        self.use_mvcc = use_mvcc
+        self.optimizer = optimizer or Optimizer()
+        self.use_cache = use_cache
+        self.context = context
+        self.params = params
+        self.metrics = StatementMetrics()
+
+    # -- stages --------------------------------------------------------------
+
+    def get_lqp(self) -> L.LQPNode:
+        t0 = time.perf_counter()
+        tr = SQLToLQPTranslator(self.catalog, params=self.params)
+        lqp = tr.translate(self.stmt)
+        if self.use_mvcc:
+            lqp = self._insert_validates(lqp)
+        self.metrics.translate_s = time.perf_counter() - t0
+        return lqp
+
+    def _insert_validates(self, root: L.LQPNode) -> L.LQPNode:
+        """Wrap stored MVCC tables in ValidateNodes (the reference's
+        translator adds Validate when MVCC is on)."""
+
+        def visit(n: L.LQPNode) -> L.LQPNode:
+            if isinstance(n, L.StoredTableNode) and \
+                    self.catalog.has_table(n.table_name) and \
+                    self.catalog.get_table(n.table_name).mvcc is not None:
+                return L.ValidateNode(n)
+            return n
+
+        # DML plans already contain their own Validate chain
+        if isinstance(root, (L.DeleteNode, L.UpdateNode, L.InsertNode)):
+            return root
+        return L.map_lqp(root, visit)
+
+    def get_optimized_lqp(self) -> L.LQPNode:
+        lqp = self.get_lqp()
+        t0 = time.perf_counter()
+        out = self.optimizer.optimize(lqp, self.catalog)
+        self.metrics.optimize_s = time.perf_counter() - t0
+        return out
+
+    def _resolve_scalar_subqueries(self, lqp: L.LQPNode) -> None:
+        """Execute ScalarSubquery placeholders, substitute literals
+        (the reference's uncorrelated PQPSelectExpression evaluation)."""
+
+        def fix_expr(e: ast.Expr) -> ast.Expr:
+            if isinstance(e, ScalarSubquery):
+                sub_plan = translate_lqp(
+                    self.optimizer.optimize(e.lqp, self.catalog), self.catalog)
+                t = execute_plan(sub_plan, self.context)
+                assert t.num_rows >= 1, "scalar subquery returned no rows"
+                v = t.columns[0].decode(1)[0]
+                if v is not None and not isinstance(v, str):
+                    v = float(v) if hasattr(v, "__float__") and \
+                        not isinstance(v, (int,)) else v
+                return ast.lit(v if not hasattr(v, "item") else v.item())
+            for attr in ("left", "right", "value", "lower", "upper"):
+                if hasattr(e, attr) and isinstance(getattr(e, attr), ast.Expr):
+                    setattr(e, attr, fix_expr(getattr(e, attr)))
+            return e
+
+        def visit(n: L.LQPNode) -> L.LQPNode:
+            if isinstance(n, L.PredicateNode):
+                n.predicate = fix_expr(n.predicate)
+            if isinstance(n, L.ProjectionNode):
+                n.outputs = [o if isinstance(o, str) else (o[0], fix_expr(o[1]))
+                             for o in n.outputs]
+            return n
+
+        L.map_lqp(lqp, visit)
+
+    def get_physical_plan(self):
+        cache_key = (self.sql_text, self.use_mvcc)
+        if self.use_cache and self.params is None:
+            cached = _plan_cache.get(cache_key)
+            if cached is not None:
+                self.metrics.cache_hit = True
+                # plans cache their outputs -> clear before reuse (the
+                # reference deep-copies cached PQPs instead)
+                _clear_plan_outputs(cached)
+                return cached
+        lqp = self.get_optimized_lqp()
+        self._resolve_scalar_subqueries(lqp)
+        t0 = time.perf_counter()
+        plan = translate_lqp(lqp, self.catalog)
+        self.metrics.compile_s = time.perf_counter() - t0
+        if self.use_cache and self.params is None:
+            _plan_cache.put(cache_key, plan)
+        return plan
+
+    def execute(self) -> Table:
+        # prepared statements
+        if isinstance(self.stmt, P.PrepareStmt):
+            _prepared[self.stmt.name] = self.stmt.stmt
+            import numpy as np
+            from hyrise_tpu.storage.table import TableColumnDefinition
+            from hyrise_tpu.types import DataType
+            return Table.from_arrays(
+                "ok", [TableColumnDefinition("ok", DataType.INT32)],
+                [np.array([], dtype=np.int32)])
+        if isinstance(self.stmt, P.ExecuteStmt):
+            inner = _prepared.get(self.stmt.name)
+            if inner is None:
+                raise SQLTranslationError(
+                    f"no prepared statement {self.stmt.name!r}")
+            vals = []
+            for p in self.stmt.params:
+                if isinstance(p, P.ELiteral):
+                    vals.append(p.value)
+                elif isinstance(p, P.EUnary) and p.op == "-" and \
+                        isinstance(p.value, P.ELiteral):
+                    vals.append(-p.value.value)
+                else:
+                    raise SQLTranslationError("EXECUTE params must be literals")
+            sub = SQLPipelineStatement(
+                inner, self.sql_text + repr(vals), self.catalog, self.tm,
+                self.use_mvcc, self.optimizer, use_cache=False,
+                context=self.context, params=vals)
+            out = sub.execute()
+            self.metrics = sub.metrics
+            return out
+
+        needs_tx = isinstance(self.stmt, (P.InsertStmt, P.UpdateStmt,
+                                          P.DeleteStmt)) or self.use_mvcc
+        auto_commit = False
+        context = self.context
+        if needs_tx and context is None:
+            context = self.tm.new_transaction_context()
+            auto_commit = isinstance(self.stmt, (P.InsertStmt, P.UpdateStmt,
+                                                 P.DeleteStmt))
+        plan = self.get_physical_plan()
+        t0 = time.perf_counter()
+        try:
+            result = execute_plan(plan, context)
+        except Exception:
+            if context is not None and auto_commit:
+                try:
+                    context.rollback()
+                except Exception:
+                    pass
+            raise
+        self.metrics.execute_s = time.perf_counter() - t0
+        if auto_commit:
+            context.commit()
+        return result
+
+
+def _clear_plan_outputs(plan) -> None:
+    seen = set()
+
+    def walk(op):
+        if id(op) in seen:
+            return
+        seen.add(id(op))
+        op.clear_output()
+        for i in op.inputs:
+            walk(i)
+
+    walk(plan)
+
+
+class SQLPipeline:
+    """Multi-statement pipeline (reference: sql_pipeline.cpp)."""
+
+    def __init__(self, sql: str, catalog: Catalog, tm: TransactionManager,
+                 use_mvcc: bool, optimizer: Optional[Optimizer],
+                 use_cache: bool, context=None):
+        t0 = time.perf_counter()
+        self.statements = P.parse_sql(sql)
+        self.parse_s = time.perf_counter() - t0
+        self._sql = sql
+        self._args = (catalog, tm, use_mvcc, optimizer, use_cache, context)
+        self.pipeline_statements: List[SQLPipelineStatement] = []
+
+    def get_result_table(self) -> Table:
+        catalog, tm, use_mvcc, optimizer, use_cache, context = self._args
+        result: Optional[Table] = None
+        for stmt in self.statements:
+            ps = SQLPipelineStatement(stmt, self._sql, catalog, tm, use_mvcc,
+                                      optimizer, use_cache, context)
+            ps.metrics.parse_s = self.parse_s / max(len(self.statements), 1)
+            self.pipeline_statements.append(ps)
+            result = ps.execute()
+        assert result is not None, "empty SQL pipeline"
+        return result
+
+
+class SQLPipelineBuilder:
+    """Reference: sql/sql_pipeline_builder.hpp fluent API."""
+
+    def __init__(self, sql: str):
+        self.sql = sql
+        self._catalog: Optional[Catalog] = None
+        self._tm: Optional[TransactionManager] = None
+        self._use_mvcc = False
+        self._optimizer: Optional[Optimizer] = None
+        self._use_cache = True
+        self._context = None
+
+    def with_catalog(self, catalog: Catalog) -> "SQLPipelineBuilder":
+        self._catalog = catalog
+        return self
+
+    def with_transaction_manager(self, tm) -> "SQLPipelineBuilder":
+        self._tm = tm
+        return self
+
+    def with_mvcc(self, enabled: bool = True) -> "SQLPipelineBuilder":
+        self._use_mvcc = enabled
+        return self
+
+    def disable_mvcc(self) -> "SQLPipelineBuilder":
+        self._use_mvcc = False
+        return self
+
+    def with_optimizer(self, optimizer: Optimizer) -> "SQLPipelineBuilder":
+        self._optimizer = optimizer
+        return self
+
+    def with_transaction_context(self, context) -> "SQLPipelineBuilder":
+        self._context = context
+        return self
+
+    def dont_cache_query_plans(self) -> "SQLPipelineBuilder":
+        self._use_cache = False
+        return self
+
+    def create_pipeline(self) -> SQLPipeline:
+        return SQLPipeline(
+            self.sql,
+            self._catalog if self._catalog is not None else default_catalog(),
+            self._tm if self._tm is not None else
+            default_transaction_manager(),
+            self._use_mvcc, self._optimizer, self._use_cache, self._context)
+
+
+def run_sql(sql: str, catalog: Optional[Catalog] = None, context=None,
+            use_mvcc: bool = False) -> Table:
+    b = SQLPipelineBuilder(sql)
+    if catalog is not None:
+        b.with_catalog(catalog)
+    if context is not None:
+        b.with_transaction_context(context)
+    if use_mvcc:
+        b.with_mvcc(True)
+    return b.create_pipeline().get_result_table()
