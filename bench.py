@@ -68,36 +68,41 @@ def main():
 
     from hyrise_tpu.kernels.q6 import q6_chain_jit, q6_jit
 
-    # warmup / compile (no host transfer of the result before timing: a
-    # device->host literal pull can flip the remote tunnel into a slow
-    # synchronous mode)
+    # Timing protocol: the axon transport pipelines dispatches and may
+    # result-cache identical calls, and block_until_ready can ACK before
+    # true completion. Robust measurement: force a host read (float()) per
+    # call, salt every call so no two are identical, and difference two
+    # chain lengths so the transport round trip cancels:
+    #   kernel_ms = (t(k=K) - t(k=1)) / (K - 1)
     t0 = time.time()
-    K = 16
+    K = 64
     args = (shipdate, discount, quantity, eprice, live, date_lo, date_hi)
-    q6_jit(*args).block_until_ready()
-    q6_chain_jit(*args, k=K).block_until_ready()
+    salt = 0
+
+    def run_chain(k):
+        nonlocal salt
+        salt += 1
+        return float(q6_chain_jit(*args, jnp.int32(salt), k=k))
+
+    rev1 = run_chain(1)
+    run_chain(K)
     log(f"compile+first runs {time.time() - t0:.1f}s")
 
-    # per-dispatch wall time (includes tunnel round trip)
-    times = []
-    for _ in range(20):
-        t0 = time.perf_counter()
-        q6_jit(*args).block_until_ready()
-        times.append((time.perf_counter() - t0) * 1e3)
-    disp_med = sorted(times)[len(times) // 2]
+    def med_time(k, n=9):
+        ts = []
+        for _ in range(n):
+            t0 = time.perf_counter()
+            run_chain(k)
+            ts.append((time.perf_counter() - t0) * 1e3)
+        return sorted(ts)[len(ts) // 2]
 
-    # amortized per-query device time: K chained executions in one program
-    chain_times = []
-    for _ in range(8):
-        t0 = time.perf_counter()
-        q6_chain_jit(*args, k=K).block_until_ready()
-        chain_times.append((time.perf_counter() - t0) * 1e3)
-    med = sorted(chain_times)[len(chain_times) // 2] / K
-    rev = float(q6_jit(*args))
+    t_1 = med_time(1)
+    t_k = med_time(K)
+    med = max((t_k - t_1) / (K - 1), 1e-6)
     rows_per_s = L / (med / 1e3)
-    log(f"Q6 SF{sf}: {med:.3f}ms/query (chained x{K}), "
-        f"{disp_med:.3f}ms single-dispatch, "
-        f"{rows_per_s / 1e9:.2f}B rows/s, revenue={rev:.2f}")
+    log(f"Q6 SF{sf}: {med:.3f}ms/query (diff of k={K} vs k=1 chains; "
+        f"t1={t_1:.2f}ms tK={t_k:.2f}ms), "
+        f"{rows_per_s / 1e9:.2f}B rows/s, revenue={rev1:.2f}")
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")

@@ -60,6 +60,10 @@ class FusedFilterAggregate(AbstractOperator):
             sizes.append(max(len(c.dictionary), 1))
         n_cells = int(np.prod(sizes)) if sizes else 1
 
+        for _, agg in self.aggregates:
+            if agg.fn is AggregateFunction.COUNT_DISTINCT:
+                raise TypeError("COUNT DISTINCT is not fusable")
+
         pred_ce = (compile_expression(self.predicate, table)
                    if self.predicate is not None else None)
         agg_specs = []  # (out_name, fn, compiled_arg|None, in_dtype)
@@ -144,12 +148,30 @@ class FusedFilterAggregate(AbstractOperator):
         self._jitted = jax.jit(compute, static_argnames=("num_rows",))
         self._meta = (sizes, n_cells, agg_specs, required)
 
+    def _fallback(self, table: Table, context) -> Table:
+        from hyrise_tpu.ops.aggregate import Aggregate
+        from hyrise_tpu.ops.base import execute_plan
+        from hyrise_tpu.ops.get_table import TableWrapper
+        from hyrise_tpu.ops.table_scan import TableScan
+
+        src: AbstractOperator = TableWrapper(table)
+        if self.predicate is not None:
+            src = TableScan(src, self.predicate)
+        return execute_plan(Aggregate(src, self.groupby, self.aggregates),
+                            context)
+
     # ------------------------------------------------------------------
 
     def _on_execute(self, context) -> Table:
         table = self.input_table(0)
         if self._jitted is None:
-            self._build(table)
+            try:
+                self._build(table)
+            except TypeError:
+                # non-dictionary group-by etc.: fall back to the general
+                # scan+aggregate pair (reference: JitOperatorWrapper only
+                # wraps jittable subplans; others run the normal operators)
+                return self._fallback(table, context)
         sizes, n_cells, agg_specs, required = self._meta
         env = make_env(table, required)
         outs = self._jitted(env, num_rows=table.num_rows)

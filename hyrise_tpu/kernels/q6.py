@@ -44,11 +44,16 @@ q6_jit = jax.jit(q6_compute)
 
 
 def q6_chain(shipdate_codes, discount, quantity, extendedprice, live,
-             date_lo, date_hi, k: int = 16):
-    """Run the Q6 body k times sequentially inside ONE program, with a
-    data dependence between iterations so XLA cannot collapse them. Used for
-    timing: per-query time = total / k, amortizing per-dispatch host<->device
-    round trips (significant under the remote axon tunnel)."""
+             date_lo, date_hi, salt, k: int = 16):
+    """Run the Q6 body k times sequentially inside ONE program, with a data
+    dependence between iterations so XLA cannot hoist the body, and a runtime
+    `salt` input so identical calls cannot be result-cached by the transport.
+
+    Timing protocol (bench.py): the per-query device time is
+    (t(k=K) - t(k=1)) / (K - 1) with a forced host read of the result after
+    each call — robust against transport round-trip latency, pipelining, and
+    caching.
+    """
 
     def body(i, acc):
         # data-dependent perturbation (low bit of the running sum) so XLA
@@ -58,7 +63,10 @@ def q6_chain(shipdate_codes, discount, quantity, extendedprice, live,
                        live, lo, date_hi)
         return acc + r
 
-    return jax.lax.fori_loop(0, k, body, jnp.float64(0.0))
+    # salt is runtime data >= 0, so minimum(salt, 0) == 0, but the compiler
+    # must keep it -> distinct argument values defeat result caching
+    init = jnp.float64(jnp.minimum(salt, 0))
+    return jax.lax.fori_loop(0, k, body, init)
 
 
 q6_chain_jit = jax.jit(q6_chain, static_argnames=("k",))

@@ -103,7 +103,28 @@ def translate_lqp(node: L.LQPNode, catalog=None,
     elif isinstance(node, L.ProjectionNode):
         op = Projection(T(node.children[0]), node.outputs)
     elif isinstance(node, L.AggregateNode):
-        op = Aggregate(T(node.children[0]), node.groupby, node.aggregates)
+        # Fusion pass (reference: JitAwareLQPTranslator,
+        # jit_operator/jit_aware_lqp_translator.cpp): lower a maximal
+        # Predicate* -> Aggregate chain into ONE jitted scan+reduce program.
+        # FusedFilterAggregate falls back to TableScan+Aggregate at runtime
+        # when the shape doesn't fit (non-dictionary group-by, COUNT
+        # DISTINCT).
+        from hyrise_tpu.expression.ast import Logical
+        from hyrise_tpu.kernels.fused import FusedFilterAggregate
+
+        preds = []
+        c = node.children[0]
+        while isinstance(c, L.PredicateNode):
+            preds.append(c.predicate)
+            c = c.children[0]
+        if preds:
+            combined = preds[-1]
+            for p in reversed(preds[:-1]):
+                combined = Logical("and", combined, p)
+            op = FusedFilterAggregate(T(c), combined, node.groupby,
+                                      node.aggregates)
+        else:
+            op = Aggregate(T(node.children[0]), node.groupby, node.aggregates)
     elif isinstance(node, L.DistinctNode):
         child = T(node.children[0])
 
