@@ -75,20 +75,19 @@ def main():
     # chain lengths so the transport round trip cancels:
     #   kernel_ms = (t(k=K) - t(k=1)) / (K - 1)
     t0 = time.time()
-    K = 64
+    K = 257
     args = (shipdate, discount, quantity, eprice, live, date_lo, date_hi)
     salt = 0
 
     def run_chain(k):
         nonlocal salt
         salt += 1
-        return float(q6_chain_jit(*args, jnp.int32(salt), k=k))
+        return float(q6_chain_jit(*args, jnp.int32(salt), jnp.int32(k)))
 
-    rev1 = run_chain(1)
-    run_chain(K)
-    log(f"compile+first runs {time.time() - t0:.1f}s")
+    rev1 = run_chain(1)  # k is a runtime bound: one compile for all k
+    log(f"compile+first run {time.time() - t0:.1f}s")
 
-    def med_time(k, n=9):
+    def med_time(k, n=7):
         ts = []
         for _ in range(n):
             t0 = time.perf_counter()
@@ -96,6 +95,7 @@ def main():
             ts.append((time.perf_counter() - t0) * 1e3)
         return sorted(ts)[len(ts) // 2]
 
+    med_time(1, n=2)  # warm transport
     t_1 = med_time(1)
     t_k = med_time(K)
     med = max((t_k - t_1) / (K - 1), 1e-6)

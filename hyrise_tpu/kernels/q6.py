@@ -44,7 +44,7 @@ q6_jit = jax.jit(q6_compute)
 
 
 def q6_chain(shipdate_codes, discount, quantity, extendedprice, live,
-             date_lo, date_hi, salt, k: int = 16):
+             date_lo, date_hi, salt, k):
     """Run the Q6 body k times sequentially inside ONE program, with a data
     dependence between iterations so XLA cannot hoist the body, and a runtime
     `salt` input so identical calls cannot be result-cached by the transport.
@@ -56,17 +56,29 @@ def q6_chain(shipdate_codes, discount, quantity, extendedprice, live,
     """
 
     def body(i, acc):
-        # data-dependent perturbation (low bit of the running sum) so XLA
-        # cannot hoist the body out of the loop as loop-invariant
-        lo = date_lo + (acc.astype(jnp.int64).astype(jnp.int32) & 1)
-        r = q6_compute(shipdate_codes, discount, quantity, extendedprice,
-                       live, lo, date_hi)
+        # Every column read must feed an iteration-dependent computation,
+        # otherwise XLA hoists the invariant sub-expressions out of the loop
+        # and the chain under-counts the per-query work.
+        bit = acc.astype(jnp.int64).astype(jnp.int32) & 1
+        bitf = bit.astype(jnp.float32)
+        lo = date_lo + bit
+        mask = (live
+                & (shipdate_codes >= lo)
+                & (shipdate_codes < date_hi)
+                & (discount >= jnp.float32(0.05) + bitf * jnp.float32(1e-9))
+                & (discount <= jnp.float32(0.07001))
+                & (quantity < jnp.float32(24.0) + bitf))
+        rev = extendedprice * (discount + bitf * jnp.float32(1e-12))
+        masked = jnp.where(mask, rev, jnp.float32(0.0))
+        partials = jnp.sum(masked.reshape(-1, 512), axis=1)
+        r = jnp.sum(partials.astype(jnp.float64))
         return acc + r
 
     # salt is runtime data >= 0, so minimum(salt, 0) == 0, but the compiler
-    # must keep it -> distinct argument values defeat result caching
+    # must keep it -> distinct argument values defeat result caching.
+    # k is a RUNTIME loop bound: one compilation serves every chain length.
     init = jnp.float64(jnp.minimum(salt, 0))
     return jax.lax.fori_loop(0, k, body, init)
 
 
-q6_chain_jit = jax.jit(q6_chain, static_argnames=("k",))
+q6_chain_jit = jax.jit(q6_chain)

@@ -1,0 +1,92 @@
+"""IndexScan operator.
+
+Reference: src/lib/operators/index_scan.{hpp,cpp} — per-chunk index lookup
+producing a PosList, chosen by the IndexScanRule when an index exists.
+
+Here: a binary search on the table's SortedIndex yields a CONTIGUOUS range
+of the sorted permutation; the output is the gathered rows. Falls back to
+TableScan when no index covers the column.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from hyrise_tpu.expression.ast import ColumnRef, Expr, Literal
+from hyrise_tpu.ops.base import AbstractOperator
+from hyrise_tpu.ops.materialize import gather_table
+from hyrise_tpu.storage.index import get_index
+from hyrise_tpu.storage.table import Table
+from hyrise_tpu.types import DataType, PredicateCondition, bucket_capacity
+
+
+class IndexScan(AbstractOperator):
+    name = "IndexScan"
+
+    def __init__(self, input_op: AbstractOperator, column: str,
+                 cond: PredicateCondition, value, value2=None):
+        super().__init__(input_op)
+        self.column = column
+        self.cond = cond
+        self.value = value
+        self.value2 = value2  # for BETWEEN
+
+    def _on_execute(self, context) -> Table:
+        table = self.input_table(0)
+        idx = get_index(table, self.column)
+        if idx is None:
+            # fallback: plain scan (reference falls back via the rule not
+            # selecting IndexScan; we degrade gracefully at runtime)
+            from hyrise_tpu.ops.table_scan import TableScan
+            from hyrise_tpu.ops.get_table import TableWrapper
+            from hyrise_tpu.ops.base import execute_plan
+            pred = self._as_expr(table)
+            return execute_plan(TableScan(TableWrapper(table), pred), context)
+
+        c = table.column(self.column)
+        v1, v1_exists = self._encode(c, self.value)
+        cond = self.cond
+        eq_lo, eq_hi = idx.lookup_range(v1, v1)  # [first ==, last == +1)
+        if cond is PredicateCondition.EQUALS:
+            start, end = (eq_lo, eq_hi) if v1_exists else (0, 0)
+        elif cond is PredicateCondition.LESS_THAN:
+            start, end = 0, eq_lo
+        elif cond is PredicateCondition.LESS_THAN_EQUALS:
+            # absent string value: nothing equals it, so <= collapses to <
+            start, end = 0, (eq_hi if v1_exists else eq_lo)
+        elif cond is PredicateCondition.GREATER_THAN:
+            start, end = (eq_hi if v1_exists else eq_lo), idx.n_valid
+        elif cond is PredicateCondition.GREATER_THAN_EQUALS:
+            start, end = eq_lo, idx.n_valid
+        elif cond is PredicateCondition.BETWEEN:
+            v2, v2_exists = self._encode(c, self.value2)
+            start = eq_lo
+            lo2, hi2 = idx.lookup_range(v2, v2)
+            end = hi2 if v2_exists else lo2
+        else:
+            raise NotImplementedError(cond)
+        start, end = min(start, end), end
+        count = max(end - start, 0)
+        cap = bucket_capacity(max(count, 1))
+        import jax.numpy as jnp
+        pos = jnp.clip(jnp.arange(cap, dtype=jnp.int32) + start, 0,
+                       idx.perm.shape[0] - 1)
+        rows = jnp.take(idx.perm, pos, axis=0)
+        out = gather_table(table, rows, count)
+        self.performance_data.extra["index_range"] = (start, end)
+        return out
+
+    def _encode(self, c, value):
+        """Returns (comparable_value, exists_in_domain)."""
+        if c.dtype is DataType.STRING:
+            pos = int(np.searchsorted(c.dictionary, value))
+            exists = pos < len(c.dictionary) and c.dictionary[pos] == value
+            return pos, exists
+        return value, True
+
+    def _as_expr(self, table) -> Expr:
+        col_ref = ColumnRef(self.column)
+        from hyrise_tpu.expression.ast import Between, Comparison
+        if self.cond is PredicateCondition.BETWEEN:
+            return Between(col_ref, Literal(self.value), Literal(self.value2))
+        return Comparison(self.cond, col_ref, Literal(self.value))

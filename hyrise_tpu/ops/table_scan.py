@@ -30,6 +30,14 @@ class TableScan(AbstractOperator):
 
     def _on_execute(self, context) -> Table:
         table = self.input_table(0)
+        # Block pruning (reference: ChunkPruningRule + ChunkStatistics):
+        # short-circuit when min/max stats prove no block can match.
+        stats = getattr(table, "block_stats", None)
+        if stats is not None:
+            keep = stats.keep_mask(table, self.predicate)
+            if keep is not None and not keep.any():
+                self.performance_data.extra["pruned_all_blocks"] = True
+                return Table(table.columns, 0, name=table.name)
         ce = compile_expression(self.predicate, table)
         data, validity = ce.fn(make_env(table, ce.required))
         mask = data.astype(bool)

@@ -65,17 +65,17 @@ class ShardedTable:
 def hash_partition(table: Table, key_col: str, mesh: Mesh,
                    n_shards: Optional[int] = None) -> ShardedTable:
     """Partition a host/global Table by hash of an integer key column."""
+    from hyrise_tpu import native
+
     n = n_shards if n_shards is not None else mesh.devices.size
     rows = table.num_rows
     key = np.asarray(table.column(key_col).data[:rows]).astype(np.int64)
     # Fibonacci hashing then mod — spreads consecutive keys (the reference
     # uses murmur2 for the same purpose, utils/murmur_hash.hpp:12-18).
-    h = key.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
-    target = ((h >> np.uint64(1)) % np.uint64(n)).astype(np.int64)
-
-    counts = np.bincount(target, minlength=n)
+    # Routed by the native C++ kernel when available (native/).
+    target = native.hash_partition(key, n)
+    counts, order = native.radix_route(target, n)
     shard_cap = bucket_capacity(int(counts.max()) if rows else 1)
-    order = np.argsort(target, kind="stable")
     offsets = np.concatenate([[0], np.cumsum(counts)])
 
     sharding = NamedSharding(mesh, P(mesh.axis_names[0]))
