@@ -370,23 +370,63 @@ class SQLToLQPTranslator:
 
     def _exists_to_join(self, sub: P.SelectStmt, negate: bool,
                         node: L.LQPNode, scope: Scope) -> L.LQPNode:
-        """[NOT] EXISTS with equality correlation -> SEMI/ANTI join."""
+        """[NOT] EXISTS with equality correlation -> SEMI/ANTI join.
+
+        Conjuncts referencing BOTH scopes with non-equality conditions
+        (e.g. Q21's l2.l_suppkey <> l1.l_suppkey) use the general row-id
+        decorrelation: tag outer rows with row ids, inner-join on the
+        equality correlation, filter the residual conditions on the joined
+        scope, take the distinct matched row ids, and semi/anti join the
+        outer rows against them.
+        """
         sub_scope = Scope(scope)
         sub_node = self._from_clause(sub, sub_scope)
         corr: List[Tuple[str, str]] = []  # (outer_qualified, inner_qualified)
+        residual = []                     # conjuncts mixing both scopes
         if sub.where is not None:
             for c in self._split_and(sub.where):
                 pair = self._correlation_pair(c, sub_scope, scope)
                 if pair is not None:
                     corr.append(pair)
-                else:
+                    continue
+                cols = self._collect_columns(c)
+                locals_only = all(sub_scope.is_local(e.table, e.name)
+                                  for e in cols)
+                if locals_only:
                     sub_node = self._apply_conjunct(c, sub_node, sub_scope)
+                else:
+                    residual.append(c)
         if not corr:
             raise SQLTranslationError(
                 "EXISTS subquery without equality correlation")
+        if not residual:
+            outer_col, inner_col = self._single_corr(corr, sub_node, sub_scope)
+            mode = JoinMode.ANTI if negate else JoinMode.SEMI
+            return L.JoinNode(mode, node, sub_node, outer_col, inner_col)
+
+        # general row-id decorrelation
+        rid = _gen_name("rid")
+        from hyrise_tpu.plan.optimizer import _output_columns
+        outer_cols = _output_columns(node, self.catalog)
+        if outer_cols is None:
+            raise SQLTranslationError(
+                "cannot determine outer columns for EXISTS decorrelation")
+        tagged = L.AliasNode(outer_cols + [rid], L.AddRowIdsNode(node),
+                             sources=outer_cols + ["row_id"])
         outer_col, inner_col = self._single_corr(corr, sub_node, sub_scope)
+        joined = L.JoinNode(JoinMode.INNER, tagged, sub_node, outer_col,
+                            inner_col)
+        for c in residual:
+            # resolve against sub_scope (falls back to outer scope through
+            # the parent chain); all columns exist in the joined output
+            joined = L.PredicateNode(self._expr(c, sub_scope), joined)
+        matched = L.AggregateNode([rid], [], joined)  # distinct row ids
+        m_rid = _gen_name("mrid")
+        matched = L.AliasNode([m_rid], matched, sources=[rid])
         mode = JoinMode.ANTI if negate else JoinMode.SEMI
-        return L.JoinNode(mode, node, sub_node, outer_col, inner_col)
+        semi = L.JoinNode(mode, tagged, matched, rid, m_rid)
+        # drop the row-id helper column
+        return L.AliasNode(outer_cols, semi, sources=outer_cols)
 
     def _in_subquery_to_join(self, c: P.EIn, node: L.LQPNode,
                              scope: Scope) -> L.LQPNode:

@@ -40,13 +40,10 @@ def _setup(sf=SF):
 
 
 QUERY_SF = {20: 0.05}
-XFAIL = {21: "EXISTS with non-equality correlation not yet in SQL path"}
 
 
 @pytest.mark.parametrize("qid", sorted(TPCH_SQL))
 def test_tpch_via_sql(qid):
-    if qid in XFAIL:
-        pytest.xfail(XFAIL[qid])
     cat, oracle = _setup(QUERY_SF.get(qid, SF))
     sql = TPCH_SQL[qid]
     expected = oracle.query(sql)
