@@ -100,9 +100,14 @@ def main():
     t_k = med_time(K)
     med = max((t_k - t_1) / (K - 1), 1e-6)
     rows_per_s = L / (med / 1e3)
+    # roofline: Q6 streams 4 x 4B columns + 1B live mask per padded row
+    bytes_per_pass = cap * (4 * 4 + 1)
+    gbps = bytes_per_pass / (med / 1e3) / 1e9
+    HBM_PEAK_GBPS = 819.0  # TPU v5e
     log(f"Q6 SF{sf}: {med:.3f}ms/query (diff of k={K} vs k=1 chains; "
-        f"t1={t_1:.2f}ms tK={t_k:.2f}ms), "
-        f"{rows_per_s / 1e9:.2f}B rows/s, revenue={rev1:.2f}")
+        f"t1={t_1:.2f}ms tK={t_k:.2f}ms), {rows_per_s / 1e9:.2f}B rows/s, "
+        f"{gbps:.0f}GB/s = {100 * gbps / HBM_PEAK_GBPS:.0f}% of HBM "
+        f"speed-of-light, revenue={rev1:.2f}")
 
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")

@@ -4,7 +4,7 @@ The reference's hottest scan loop (SingleColumnTableScanImpl's typed inner
 loop, single_column_table_scan_impl.cpp:38-61) becomes a Pallas grid over
 row tiles: each grid step streams one VMEM tile of each predicate column
 from HBM, evaluates the fused predicate + product on the VPU, and writes one
-partial sum — one HBM pass, no intermediate materialization.
+partial-sum tile — one HBM pass, no intermediate materialization.
 
 `q6_pallas` is the Pallas twin of kernels/q6.q6_compute; tests compare both
 (interpret mode on CPU, compiled on TPU).
@@ -19,55 +19,64 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# row tile: 8 sublanes x 1024 lanes worth of rows per grid step (x4 columns
-# x4B = 128KB of VMEM per step incl. double buffering)
-TILE_ROWS = 8 * 1024
+# rows per grid step: 64 sublanes x 1024 lanes (x4 columns x4B = 1MB of
+# VMEM tiles per step)
+TILE_SUB = 64
+TILE_LANE = 1024
+TILE_ROWS = TILE_SUB * TILE_LANE
 
 
-def _q6_tile_kernel(lo_ref, hi_ref, ship_ref, disc_ref, qty_ref, price_ref,
+def _q6_scan_tile_kernel_v2(lo_ref, hi_ref, ship_ref, disc_ref, qty_ref, price_ref,
                     live_ref, out_ref):
-    lo = lo_ref[0]
-    hi = hi_ref[0]
+    lo = lo_ref[0, 0]
+    hi = hi_ref[0, 0]
     ship = ship_ref[...]
     disc = disc_ref[...]
     qty = qty_ref[...]
     price = price_ref[...]
-    live = live_ref[...]
+    live = live_ref[...] != 0
     mask = (live & (ship >= lo) & (ship < hi)
             & (disc >= jnp.float32(0.05)) & (disc <= jnp.float32(0.07001))
             & (qty < jnp.float32(24.0)))
     prod = jnp.where(mask, price * disc, jnp.float32(0.0))
-    out_ref[0, 0] = jnp.sum(prod)
+    # scalar reduction; the whole (grid, 1) output is the block (TPU grid
+    # steps run sequentially), each step writes its own slot
+    out_ref[pl.program_id(0), 0] = jnp.sum(prod)
 
 
 @partial(jax.jit, static_argnames=("interpret",))
 def q6_pallas(shipdate_codes, discount, quantity, extendedprice, live,
               date_lo, date_hi, interpret: bool = False):
     """Fused Q6 over 1-D columns (length must be a multiple of TILE_ROWS —
-    our capacities are power-of-two >= 2^13 so this always holds)."""
+    capacities are power-of-two >= 2^16 at bench scale)."""
     n = shipdate_codes.shape[0]
     assert n % TILE_ROWS == 0, n
     grid = n // TILE_ROWS
 
     def reshape(a):
-        return a.reshape(grid, 8, TILE_ROWS // 8)
+        return a.reshape(grid * TILE_SUB, TILE_LANE)
 
-    tile_spec = pl.BlockSpec((1, 8, TILE_ROWS // 8),
-                             lambda i: (i, 0, 0),
-                             memory_space=pltpu.VMEM)
-    scalar_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    tile_spec = pl.BlockSpec((TILE_SUB, TILE_LANE),
+                             lambda i: (i, 0), memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)
 
-    partials = pl.pallas_call(
-        _q6_tile_kernel,
-        grid=(grid,),
-        in_specs=[scalar_spec, scalar_spec, tile_spec, tile_spec, tile_spec,
-                  tile_spec, tile_spec],
-        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
-                               memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((grid, 1), jnp.float32),
-        interpret=interpret,
-    )(jnp.asarray([date_lo], dtype=jnp.int32),
-      jnp.asarray([date_hi], dtype=jnp.int32),
-      reshape(shipdate_codes), reshape(discount), reshape(quantity),
-      reshape(extendedprice), reshape(live))
+    # The engine runs with jax_enable_x64=True, but x64 trace mode breaks
+    # Mosaic lowering (int64 leaks into index maps -> "failed to legalize
+    # func.return"); trace the kernel under x32. All operands are
+    # int32/f32/int8, so numerics are unchanged.
+    with jax.enable_x64(False):
+        partials = pl.pallas_call(
+            _q6_scan_tile_kernel_v2,
+            grid=(grid,),
+            in_specs=[scalar_spec, scalar_spec, tile_spec, tile_spec,
+                      tile_spec, tile_spec, tile_spec],
+            out_specs=pl.BlockSpec((grid, 1), lambda i: (0, 0),
+                                   memory_space=pltpu.SMEM),
+            out_shape=jax.ShapeDtypeStruct((grid, 1), jnp.float32),
+            interpret=interpret,
+        )(jnp.asarray([[date_lo]], dtype=jnp.int32),
+          jnp.asarray([[date_hi]], dtype=jnp.int32),
+          reshape(shipdate_codes), reshape(discount), reshape(quantity),
+          reshape(extendedprice), reshape(live.astype(jnp.int8)))
     return jnp.sum(partials.astype(jnp.float64))
