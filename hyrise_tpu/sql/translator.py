@@ -189,11 +189,22 @@ class SQLToLQPTranslator:
 
         if sel.orderby:
             defs = []
+            hidden = False
             for e, d in sel.orderby:
                 name = self._resolve_output_ref(e, sel, out_names, scope)
+                if name not in out_names and not has_agg:
+                    # ORDER BY a column dropped by the projection: re-add it
+                    # as a hidden output column, sort, then project it away.
+                    if isinstance(node, L.ProjectionNode):
+                        q = scope.resolve(e.table, e.name) \
+                            if isinstance(e, P.EColumn) else name
+                        node.outputs.append((name, self._expr(e, scope)))
+                        hidden = True
                 mode = SortMode.ASCENDING if d == "asc" else SortMode.DESCENDING
                 defs.append((name, mode))
             node = L.SortNode(defs, node)
+            if hidden:
+                node = L.ProjectionNode(list(out_names), node)
 
         if sel.limit is not None:
             node = L.LimitNode(sel.limit, node)

@@ -1,0 +1,67 @@
+"""Run the full 22-query TPC-H suite on the available device and write a
+google-benchmark-style JSON report (reference: hyriseBenchmarkTPCH binary,
+src/benchmark/tpch_benchmark.cpp).
+
+Usage: python scripts/tpch_bench.py [--sf 1.0] [--runs 3] [--out tpch_report.json]
+
+Note (axon remote TPU): per-operator host syncs cost a ~25ms tunnel round
+trip each, so absolute times here are transport-dominated; they are still
+the honest end-to-end wall clock of the current eager operator path.
+"""
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", type=float, default=1.0)
+    ap.add_argument("--runs", type=int, default=3)
+    ap.add_argument("--warmup", type=int, default=1)
+    ap.add_argument("--out", default="tpch_report.json")
+    ap.add_argument("--queries", default=None,
+                    help="comma-separated query ids (default: all 22)")
+    args = ap.parse_args()
+
+    from hyrise_tpu.bench.runner import BenchmarkConfig, BenchmarkRunner
+    from hyrise_tpu.ops.base import execute_plan
+    from hyrise_tpu.storage.catalog import Catalog
+    from hyrise_tpu.tpch.dbgen import generate_tables
+    from hyrise_tpu.tpch.queries import TPCH_PLANS
+
+    t0 = time.time()
+    tables = generate_tables(args.sf)
+    cat = Catalog()
+    for name, t in tables.items():
+        cat.add_table(name, t)
+    print(f"generated SF{args.sf} in {time.time() - t0:.1f}s", file=sys.stderr)
+
+    qids = ([int(q) for q in args.queries.split(",")] if args.queries
+            else sorted(TPCH_PLANS))
+
+    def make_query(qid):
+        def run():
+            return execute_plan(TPCH_PLANS[qid](cat))
+        return run
+
+    queries = {f"TPC-H {qid:02d}": make_query(qid) for qid in qids}
+    runner = BenchmarkRunner(
+        BenchmarkConfig(mode="individual", max_runs=args.runs,
+                        warmup_runs=args.warmup, max_duration_s=600.0,
+                        verbose=True, scale_factor=args.sf),
+        queries)
+    runner.run()
+    runner.write_report(args.out)
+    rep = runner.report()
+    total = sum(b["real_time_ms"] for b in rep["benchmarks"])
+    print(f"total (sum of medians): {total:.0f}ms across "
+          f"{len(rep['benchmarks'])} queries -> {args.out}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()
