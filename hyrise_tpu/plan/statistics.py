@@ -37,7 +37,11 @@ class TableStatistics:
     columns: Dict[str, ColumnStatistics]
 
     def column(self, name: str) -> Optional[ColumnStatistics]:
-        return self.columns.get(name)
+        cs = self.columns.get(name)
+        if cs is None and "." in name:
+            # SQL plans qualify columns as "alias.column"
+            cs = self.columns.get(name.split(".", 1)[1])
+        return cs
 
 
 def generate_table_statistics(table: Table, sample: int = 65536

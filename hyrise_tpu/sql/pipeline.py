@@ -116,6 +116,11 @@ class SQLPipelineStatement:
     def get_optimized_lqp(self) -> L.LQPNode:
         lqp = self.get_lqp()
         t0 = time.perf_counter()
+        if not self.optimizer.stats:
+            try:
+                self.optimizer.stats = self.catalog.all_statistics()
+            except Exception:
+                pass
         out = self.optimizer.optimize(lqp, self.catalog)
         self.metrics.optimize_s = time.perf_counter() - t0
         return out

@@ -63,6 +63,22 @@ class Catalog:
     def view_names(self) -> List[str]:
         return sorted(self._views)
 
+    def table_statistics(self, name: str):
+        """Lazily generated TableStatistics (reference: StorageManager has no
+        stats cache; Hyrise generates them per StoredTableNode — we cache
+        per table here for the optimizer's PredicateReorderingRule)."""
+        t = self.get_table(name)
+        stats = getattr(t, "_stats_cache", None)
+        if stats is None or getattr(t, "_stats_rows", -1) != t.num_rows:
+            from hyrise_tpu.plan.statistics import generate_table_statistics
+            stats = generate_table_statistics(t)
+            t._stats_cache = stats
+            t._stats_rows = t.num_rows
+        return stats
+
+    def all_statistics(self):
+        return {name: self.table_statistics(name) for name in self._tables}
+
     def reset(self) -> None:
         self._tables.clear()
         self._views.clear()
