@@ -42,31 +42,58 @@ class StatementMetrics:
     cache_hit: bool = False
 
 
-class LRUCache:
-    """Reference: sql/sql_query_cache.hpp (LRU policy; GDFS etc. are
-    plug-in policies there — LRU is the default behavior)."""
+class SQLQueryCache:
+    """Reference: sql/sql_query_cache.hpp with pluggable eviction policies
+    (lru_cache.hpp, gdfs_cache.hpp, random_cache.hpp). Policies:
+    'lru' (default), 'gdfs' (greedy-dual frequency: evict lowest
+    priority = frequency + clock), 'random'."""
 
-    def __init__(self, capacity: int = 256):
+    def __init__(self, capacity: int = 256, policy: str = "lru"):
+        assert policy in ("lru", "gdfs", "random")
         self.capacity = capacity
+        self.policy = policy
         self._d: OrderedDict = OrderedDict()
+        self._freq: Dict = {}
+        self._clock = 0.0
 
     def get(self, key):
-        if key in self._d:
+        if key not in self._d:
+            return None
+        if self.policy == "lru":
             self._d.move_to_end(key)
-            return self._d[key]
-        return None
+        elif self.policy == "gdfs":
+            self._freq[key] = self._freq.get(key, 0) + 1
+        return self._d[key]
 
     def put(self, key, value):
         self._d[key] = value
-        self._d.move_to_end(key)
+        if self.policy == "lru":
+            self._d.move_to_end(key)
+        elif self.policy == "gdfs":
+            self._freq[key] = self._freq.get(key, self._clock) + 1
         while len(self._d) > self.capacity:
+            self._evict()
+
+    def _evict(self):
+        if self.policy == "lru":
             self._d.popitem(last=False)
+        elif self.policy == "random":
+            import random
+            k = random.choice(list(self._d))
+            del self._d[k]
+        else:  # gdfs
+            k = min(self._d, key=lambda x: self._freq.get(x, 0))
+            self._clock = self._freq.pop(k, self._clock)
+            del self._d[k]
 
     def clear(self):
         self._d.clear()
+        self._freq.clear()
 
 
-_plan_cache = LRUCache()
+LRUCache = SQLQueryCache  # backwards-compatible alias
+
+_plan_cache = SQLQueryCache()
 _prepared: Dict[str, object] = {}
 
 
