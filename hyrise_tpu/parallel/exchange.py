@@ -146,6 +146,17 @@ def dist_filter_aggregate(mesh: Mesh, compute_local, out_cells: int):
                      check_vma=False)
 
 
+def broadcast_join_inner(lk, l_valid, rk_local, r_valid_local,
+                         out_cap: int, axis: str = SHARD_AXIS):
+    """Broadcast join: all_gather the (small) build side to every shard and
+    join locally — the distributed analogue of the reference's build-side
+    swap rule (join_hash.cpp:55-76 picks the smaller input; here a small
+    build side skips the all_to_all entirely). Runs inside shard_map."""
+    rk = jax.lax.all_gather(rk_local, axis, tiled=True)
+    rv = jax.lax.all_gather(r_valid_local, axis, tiled=True)
+    return local_join_inner(lk, l_valid, rk, rv, out_cap)
+
+
 def dist_join_aggregate_step(mesh: Mesh, n_shards: int,
                              expansion: int = 2):
     """Build the flagship distributed step:
