@@ -217,7 +217,9 @@ class Join(AbstractOperator):
 
         segments = []  # (probe_idx, build_idx, matched_flag) pieces
         for lo, counts in range_lists:
-            seg_total = int(jnp.sum(counts))
+            # single-range joins (equi/range conds): reuse the already-synced
+            # total instead of a second ~25ms device->host round trip
+            seg_total = total if len(range_lists) == 1 else int(jnp.sum(counts))
             if seg_total == 0 and len(range_lists) > 1:
                 continue
             out_cap = bucket_capacity(seg_total)
