@@ -26,6 +26,9 @@ def main():
     ap.add_argument("--out", default="tpch_report.json")
     ap.add_argument("--queries", default=None,
                     help="comma-separated query ids (default: all 22)")
+    ap.add_argument("--via", choices=("plans", "sql"), default="plans",
+                    help="hand-built physical plans, or the full SQL "
+                         "pipeline (optimizer: column pruning + fusion)")
     args = ap.parse_args()
 
     from hyrise_tpu.bench.runner import BenchmarkConfig, BenchmarkRunner
@@ -44,10 +47,20 @@ def main():
     qids = ([int(q) for q in args.queries.split(",")] if args.queries
             else sorted(TPCH_PLANS))
 
-    def make_query(qid):
-        def run():
-            return execute_plan(TPCH_PLANS[qid](cat))
-        return run
+    if args.via == "sql":
+        from hyrise_tpu.sql.pipeline import SQLPipelineBuilder
+        from hyrise_tpu.tpch.queries import TPCH_SQL
+
+        def make_query(qid):
+            def run():
+                return (SQLPipelineBuilder(TPCH_SQL[qid]).with_catalog(cat)
+                        .create_pipeline().get_result_table())
+            return run
+    else:
+        def make_query(qid):
+            def run():
+                return execute_plan(TPCH_PLANS[qid](cat))
+            return run
 
     queries = {f"TPC-H {qid:02d}": make_query(qid) for qid in qids}
     runner = BenchmarkRunner(
