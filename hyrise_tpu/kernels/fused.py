@@ -164,7 +164,8 @@ class FusedFilterAggregate(AbstractOperator):
 
     def _on_execute(self, context) -> Table:
         table = self.input_table(0)
-        if self._jitted is None:
+        if self._jitted is None or getattr(self, "_built_for", None) != id(table):
+            self._built_for = id(table)
             try:
                 self._build(table)
             except TypeError:

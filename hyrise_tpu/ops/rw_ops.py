@@ -94,11 +94,15 @@ def _append_rows(target: Table, values: Table, catalog: Catalog) -> Table:
         target = new_table
         mvcc = target.mvcc
 
-    # write the new rows (host roundtrip; OLTP ingest path)
+    # write the new rows (host roundtrip; OLTP ingest path).
+    # Columns map POSITIONALLY, like the reference's Insert (insert.cpp):
+    # INSERT ... SELECT provides expression columns with arbitrary names.
+    assert len(values.columns) == len(target.columns), \
+        "INSERT values must cover all target columns"
     cols = []
-    for c in target.columns:
+    for ci, c in enumerate(target.columns):
         data = np.asarray(c.data).copy()
-        vc = values.column(c.name)
+        vc = values.columns[ci]
         if c.dtype is DataType.STRING:
             # re-encode against (possibly extended) dictionary
             vals = vc.decode(n_new)

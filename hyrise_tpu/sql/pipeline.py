@@ -183,7 +183,14 @@ class SQLPipelineStatement:
         L.map_lqp(lqp, visit)
 
     def get_physical_plan(self):
-        cache_key = (self.sql_text, self.use_mvcc)
+        # key includes the catalog identity (cached operators hold catalog
+        # references); DML is never cached (the reference only caches
+        # SELECT pipelines and deep-copies them before reuse)
+        cache_key = (self.sql_text, self.use_mvcc, id(self.catalog))
+        if isinstance(self.stmt, (P.InsertStmt, P.UpdateStmt, P.DeleteStmt)):
+            lqp = self.get_optimized_lqp()
+            self._resolve_scalar_subqueries(lqp)
+            return translate_lqp(lqp, self.catalog)
         if self.use_cache and self.params is None:
             cached = _plan_cache.get(cache_key)
             if cached is not None:
