@@ -131,8 +131,11 @@ class _Session:
         if not sql:
             self._send(b"C", _cstr("EMPTY"))
             return
+        # plans cache per-operator outputs -> unsafe to share one plan object
+        # across concurrent sessions; bypass the global plan cache here
         result = (SQLPipelineBuilder(sql).with_catalog(self.catalog)
-                  .create_pipeline().get_result_table())
+                  .dont_cache_query_plans().create_pipeline()
+                  .get_result_table())
         self._send_row_description(result)
         n = self._send_rows(result)
         self._send(b"C", _cstr(f"SELECT {n}"))
