@@ -165,6 +165,11 @@ class ShowStmt:
     table: Optional[str] = None
 
 
+@dataclasses.dataclass
+class ExplainStmt:
+    stmt: object
+
+
 # expression tree nodes (parser-level; translator maps to expression.ast)
 
 @dataclasses.dataclass
@@ -339,6 +344,9 @@ class Parser:
         if self.at_kw("show"):
             return self.parse_show()
         t = self.peek()
+        if t is not None and t.kind == "id" and t.value.lower() == "explain":
+            self.take()
+            return ExplainStmt(self.parse_statement())
         raise SQLParseError(f"cannot parse statement at {t.value!r} ({t.pos})")
 
     def parse_select(self) -> SelectStmt:

@@ -209,6 +209,19 @@ class SQLPipelineStatement:
         return plan
 
     def execute(self) -> Table:
+        if isinstance(self.stmt, P.ExplainStmt):
+            import numpy as np
+            from hyrise_tpu.storage.table import TableColumnDefinition
+            from hyrise_tpu.types import DataType
+            inner = SQLPipelineStatement(
+                self.stmt.stmt, self.sql_text, self.catalog, self.tm,
+                self.use_mvcc, self.optimizer, use_cache=False,
+                context=self.context, params=self.params)
+            lqp = inner.get_optimized_lqp()
+            lines = np.array(lqp.describe().split("\n"), dtype=object)
+            return Table.from_arrays(
+                "explain", [TableColumnDefinition("plan", DataType.STRING)],
+                [lines])
         # prepared statements
         if isinstance(self.stmt, P.PrepareStmt):
             _prepared[self.stmt.name] = self.stmt.stmt
