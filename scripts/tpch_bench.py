@@ -29,7 +29,14 @@ def main():
     ap.add_argument("--via", choices=("plans", "sql"), default="plans",
                     help="hand-built physical plans, or the full SQL "
                          "pipeline (optimizer: column pruning + fusion)")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the host CPU backend (the axon TPU tunnel "
+                         "makes eager per-op dispatch compile-bound)")
     args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
 
     from hyrise_tpu.bench.runner import BenchmarkConfig, BenchmarkRunner
     from hyrise_tpu.ops.base import execute_plan
