@@ -112,36 +112,94 @@ class ConstantCalculationRule:
 
 class JoinDetectionRule:
     """Predicate(l == r) over CrossJoin -> equi JoinNode when l and r come
-    from different sides."""
+    from different sides (reference: strategy/join_detection_rule.cpp).
+
+    When a STACK of predicates sits above a cross join and several are
+    cross-side equalities, the chosen join condition matters enormously:
+    joining on a low-cardinality column (c_nationkey = s_nationkey) explodes
+    the output, while a key column (l_suppkey = s_suppkey) stays linear.
+    With statistics available we pick the equality whose columns have the
+    highest distinct counts; the remaining conjuncts stay as filters."""
+
+    def __init__(self, stats: Optional[Dict[str, "TableStatistics"]] = None):
+        self.stats = stats or {}
+
+    def _distinct_of(self, name: str) -> float:
+        bare = name.split(".", 1)[1] if "." in name else name
+        best = 1.0
+        for ts in self.stats.values():
+            cs = ts.columns.get(bare)
+            if cs is not None:
+                best = max(best, cs.distinct_count)
+        return best
 
     def apply(self, root: L.LQPNode, catalog) -> L.LQPNode:
-        def visit(n: L.LQPNode) -> L.LQPNode:
-            if not (isinstance(n, L.PredicateNode)
-                    and isinstance(n.children[0], L.JoinNode)
-                    and n.children[0].mode is JoinMode.CROSS):
+        # TOP-DOWN so the full Predicate* chain above each cross join is
+        # visible at once (bottom-up rewriting would convert on the lowest
+        # predicate before alternatives can be compared).
+        seen = set()
+
+        def walk(n: L.LQPNode) -> L.LQPNode:
+            if id(n) in seen:
                 return n
-            join = n.children[0]
-            p = n.predicate
+            seen.add(id(n))
+            n = self._try_convert(n, catalog)
+            n.children = [walk(c) for c in n.children]
+            return n
+
+        return walk(root)
+
+    def _try_convert(self, n: L.LQPNode, catalog) -> L.LQPNode:
+        if not isinstance(n, L.PredicateNode):
+            return n
+        # collect the full predicate chain ending at a CROSS join
+        chain = [n]
+        cur = n
+        while isinstance(cur.children[0], L.PredicateNode):
+            cur = cur.children[0]
+            chain.append(cur)
+        if not (isinstance(cur.children[0], L.JoinNode)
+                and cur.children[0].mode is JoinMode.CROSS):
+            return n
+        join = cur.children[0]
+        lcols = _output_columns(join.children[0], catalog)
+        rcols = _output_columns(join.children[1], catalog)
+        if lcols is None or rcols is None:
+            return n
+        lset, rset = set(lcols), set(rcols)
+
+        candidates = []  # (score, pred_node, lc, rc)
+        for pn in chain:
+            p = pn.predicate
             if not (isinstance(p, ast.Comparison)
+                    and p.cond is PredicateCondition.EQUALS
                     and isinstance(p.left, ast.ColumnRef)
                     and isinstance(p.right, ast.ColumnRef)):
-                return n
-            lcols = _output_columns(join.children[0], catalog)
-            rcols = _output_columns(join.children[1], catalog)
-            if lcols is None or rcols is None:
-                return n
+                continue
             a, b = p.left.name, p.right.name
-            if a in lcols and b in rcols:
+            if a in lset and b in rset:
                 lc, rc = a, b
-            elif b in lcols and a in rcols:
+            elif b in lset and a in rset:
                 lc, rc = b, a
             else:
-                return n
-            return L.JoinNode(JoinMode.INNER, join.children[0],
-                              join.children[1], lc, rc, p.cond
-                              if a in lcols else p.cond.flipped())
+                continue
+            score = min(self._distinct_of(lc), self._distinct_of(rc))
+            candidates.append((score, pn, lc, rc))
+        if not candidates:
+            return n
+        candidates.sort(key=lambda x: -x[0])
+        _, chosen, lc, rc = candidates[0]
+        new_join = L.JoinNode(JoinMode.INNER, join.children[0],
+                              join.children[1], lc, rc)
+        # rebuild remaining predicates above the join
+        out: L.LQPNode = new_join
+        for pn in reversed(chain):
+            if pn is chosen:
+                continue
+            pn.children[0] = out
+            out = pn
+        return out
 
-        return L.map_lqp(root, visit)
 
 
 class PredicatePushdownRule:
@@ -323,7 +381,7 @@ class Optimizer:
         root = ConstantCalculationRule().apply(root, catalog)
         for _ in range(100):  # iterative batch
             before = root.describe()
-            root = JoinDetectionRule().apply(root, catalog)
+            root = JoinDetectionRule(self.stats).apply(root, catalog)
             root = PredicatePushdownRule().apply(root, catalog)
             root = PredicateReorderingRule(self.stats).apply(root, catalog)
             if root.describe() == before:
