@@ -331,7 +331,11 @@ class ColumnPruningRule:
             elif isinstance(n, L.SortNode):
                 cols |= {c for c, _ in n.sort_defs}
             elif isinstance(n, L.AliasNode) and n.sources is not None:
-                cols |= set(n.sources)
+                # a renaming alias requires nothing by itself: its outputs
+                # are pulled only by consumers above (prunable below)
+                if not isinstance(n.children[0], (L.StoredTableNode,
+                                                  L.AddRowIdsNode)):
+                    cols |= set(n.sources)
             elif isinstance(n, L.AliasNode) and n.sources is None:
                 return None  # positional alias: needs all columns
             elif isinstance(n, (L.UnionNode, L.DistinctNode, L.InsertNode,
@@ -359,16 +363,40 @@ class ColumnPruningRule:
         if conservative[0]:
             return root
 
-        def visit(n: L.LQPNode) -> L.LQPNode:
+        seen = set()
+
+        def visit(n: L.LQPNode) -> None:
+            if id(n) in seen:
+                return
+            seen.add(id(n))
+            # qualified-alias leaves (the SQL path): prune unreferenced
+            # outputs from the alias AND the stored table beneath it.
+            # Handled top-down so the bare-name branch below never fires on
+            # an alias-wrapped leaf first.
+            if isinstance(n, L.AliasNode) and n.sources is not None and \
+                    isinstance(n.children[0], L.StoredTableNode):
+                stored = n.children[0]
+                if catalog.has_table(stored.table_name) and \
+                        stored.pruned_columns is None:
+                    kept = [(nm, src) for nm, src in zip(n.names, n.sources)
+                            if nm in all_required]
+                    if kept and len(kept) < len(n.names):
+                        n.names = [nm for nm, _ in kept]
+                        n.sources = [src for _, src in kept]
+                        stored.pruned_columns = [src for _, src in kept]
+                seen.add(id(stored))
+                return
             if isinstance(n, L.StoredTableNode) and n.pruned_columns is None \
                     and catalog.has_table(n.table_name):
                 cols = catalog.get_table(n.table_name).column_names
                 keep = [c for c in cols if c in all_required]
                 if keep and len(keep) < len(cols):
                     n.pruned_columns = keep
-            return n
+            for c in n.children:
+                visit(c)
 
-        return L.map_lqp(root, visit)
+        visit(root)
+        return root
 
 
 class Optimizer:
