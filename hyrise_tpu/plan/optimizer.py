@@ -414,5 +414,8 @@ class Optimizer:
             root = PredicateReorderingRule(self.stats).apply(root, catalog)
             if root.describe() == before:
                 break
+        from hyrise_tpu.plan.join_ordering import JoinOrderingRule
+        root = JoinOrderingRule(self.stats).apply(root, catalog)
+        root = PredicatePushdownRule().apply(root, catalog)
         root = ColumnPruningRule().apply(root, catalog)
         return root
