@@ -106,6 +106,61 @@ def dist_q1(mesh: Mesh, lineitem: ShardedTable, date_hi_code: int):
               _shard_masks(lineitem))
 
 
+def _local_sum_by_key(keys, values, valid):
+    """Sync-free per-shard sum-by-key: sort-cluster, segment-sum with
+    num_segments = capacity (a group count upper bound), return dense
+    (group_keys, group_sums, group_valid) arrays of the same capacity."""
+    cap = keys.shape[0]
+    if keys.dtype.kind == "f":
+        sentinel = jnp.array(jnp.inf, dtype=keys.dtype)
+    else:
+        sentinel = jnp.array(jnp.iinfo(keys.dtype).max, dtype=keys.dtype)
+    masked = jnp.where(valid, keys, sentinel)
+    perm = jnp.lexsort([(~valid).astype(jnp.int32), masked])
+    k = jnp.take(masked, perm, axis=0)
+    v = jnp.take(jnp.where(valid, values, 0), perm, axis=0)
+    val = jnp.take(valid, perm, axis=0)
+    first = jnp.zeros(cap, dtype=bool).at[0].set(True)
+    new_group = val & (first | (k != jnp.roll(k, 1)))
+    gid = jnp.cumsum(new_group.astype(jnp.int32)) - 1
+    gid = jnp.where(val, gid, cap)
+    sums = jax.ops.segment_sum(v, gid, num_segments=cap + 1)[:cap]
+    # representative key per group
+    rep_pos = jnp.where(new_group, jnp.arange(cap), cap)
+    rep_sorted = jnp.sort(rep_pos)[:cap]
+    g_keys = jnp.take(k, jnp.clip(rep_sorted, 0, cap - 1), axis=0)
+    n_groups = jnp.sum(new_group.astype(jnp.int32))
+    g_valid = jnp.arange(cap) < n_groups
+    return g_keys, sums, g_valid
+
+
+def dist_aggregate_sum_by_key(mesh: Mesh, n_shards: int):
+    """Two-phase distributed SUM-by-high-cardinality-key (SURVEY §7 step 6:
+    local partial aggregates -> all_to_all by key hash -> final combine).
+    Robust to key skew: a hot key contributes at most ONE partial per source
+    shard to the exchange, regardless of its row count.
+
+    Returns jitted fn(keys [n,cap], values [n,cap], valid [n,cap]) ->
+    (group_keys, group_sums, group_valid) sharded arrays: each shard holds
+    the final sums for the keys it owns by hash."""
+
+    def local(keys, values, valid):
+        keys, values, valid = (x.reshape(x.shape[-1])
+                               for x in (keys, values, valid))
+        # phase 1: local partials
+        g_keys, g_sums, g_valid = _local_sum_by_key(keys, values, valid)
+        # exchange partials by key hash
+        (r_sums,), r_keys, r_valid = repartition_by_key(
+            (g_sums,), g_keys, g_valid, n_shards)
+        # phase 2: combine partials
+        f_keys, f_sums, f_valid = _local_sum_by_key(r_keys, r_sums, r_valid)
+        return (f_keys[None, :], f_sums[None, :], f_valid[None, :])
+
+    spec = P(SHARD_AXIS)
+    return jax.jit(shard_map(local, mesh=mesh, in_specs=(spec,) * 3,
+                             out_specs=(spec,) * 3, check_vma=False))
+
+
 def dist_q3_step(mesh: Mesh, n_shards: int, customer: ShardedTable,
                  orders: ShardedTable, lineitem: ShardedTable,
                  segment_code: int, date_lo_code: int, expansion: int = 2):
