@@ -98,14 +98,24 @@ class JoinOrderingRule:
                  ) -> bool:
         """Flatten node into the region accumulators. Returns True if the
         node was decomposed (joins/predicates), False if it is a relation."""
-        if isinstance(node, L.JoinNode) and node.mode is JoinMode.INNER and \
-                node.cond is PredicateCondition.EQUALS and node.left_col:
+        is_inner_equi = (isinstance(node, L.JoinNode)
+                         and node.mode is JoinMode.INNER
+                         and node.cond is PredicateCondition.EQUALS
+                         and node.left_col)
+        is_cross = (isinstance(node, L.JoinNode)
+                    and node.mode is JoinMode.CROSS)
+        if is_inner_equi or is_cross:
+            # flatten CROSS joins too: un-convertible FROM-order crosses
+            # (e.g. part x supplier, connected only through lineitem) must
+            # become separate relations so GOO can route them via their
+            # real edges instead of materializing the cross product
             left, right = node.children
             if not self._extract(left, catalog, relations, edges, preds):
                 self._add_relation(left, catalog, relations)
             if not self._extract(right, catalog, relations, edges, preds):
                 self._add_relation(right, catalog, relations)
-            edges.append((node.left_col, node.right_col))
+            if is_inner_equi:
+                edges.append((node.left_col, node.right_col))
             return True
         if isinstance(node, L.PredicateNode):
             child_decomposed = self._extract(node.children[0], catalog,

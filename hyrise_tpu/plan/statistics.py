@@ -59,7 +59,15 @@ def generate_table_statistics(table: Table, sample: int = 65536
             distinct = float(len(c.dictionary))
             mn, mx = 0.0, float(max(len(c.dictionary) - 1, 0))
         else:
-            distinct = float(len(np.unique(data))) * step ** 0.5
+            uniq = float(len(np.unique(data)))
+            if uniq >= 0.9 * len(data):
+                # key-like: nearly all sampled values distinct -> extrapolate
+                # linearly (sqrt-style scaling badly underestimates keys and
+                # misorders joins)
+                distinct = uniq * step
+            else:
+                # low-cardinality: the sample already saw most values
+                distinct = uniq
             mn, mx = float(data.min()), float(data.max())
         nulls = 0.0
         if c.validity is not None:

@@ -262,6 +262,7 @@ class SQLPipelineStatement:
             auto_commit = isinstance(self.stmt, (P.InsertStmt, P.UpdateStmt,
                                                  P.DeleteStmt))
         plan = self.get_physical_plan()
+        self.last_plan = plan  # retained for profiling / visualization
         t0 = time.perf_counter()
         try:
             result = execute_plan(plan, context)
