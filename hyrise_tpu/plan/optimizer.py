@@ -258,6 +258,49 @@ class PredicatePushdownRule:
         return root
 
 
+class SemiJoinPushdownRule:
+    """Push SEMI/ANTI joins toward the relation that owns the probe key:
+    Semi(Join(A,B), S) on a key from A  ->  Join(Semi(A,S), B). Also commutes
+    with predicates on the probe side. (The reference reaches the same
+    effect through its subquery-to-join rewriting order; our translator
+    applies subquery joins last, so this rule restores early filtering.)"""
+
+    def apply(self, root: L.LQPNode, catalog) -> L.LQPNode:
+        changed = [True]
+
+        def visit(n: L.LQPNode) -> L.LQPNode:
+            if not (isinstance(n, L.JoinNode)
+                    and n.mode in (JoinMode.SEMI, JoinMode.ANTI)):
+                return n
+            probe, build = n.children
+            key = n.left_col
+            if isinstance(probe, L.PredicateNode):
+                n.children[0] = probe.children[0]
+                probe.children[0] = n
+                changed[0] = True
+                return probe
+            if isinstance(probe, L.JoinNode) and probe.mode in (
+                    JoinMode.INNER, JoinMode.CROSS):
+                lcols = _output_columns(probe.children[0], catalog)
+                rcols = _output_columns(probe.children[1], catalog)
+                if lcols is not None and key in lcols:
+                    probe.children[0] = L.JoinNode(
+                        n.mode, probe.children[0], build, key, n.right_col)
+                    changed[0] = True
+                    return probe
+                if rcols is not None and key in rcols:
+                    probe.children[1] = L.JoinNode(
+                        n.mode, probe.children[1], build, key, n.right_col)
+                    changed[0] = True
+                    return probe
+            return n
+
+        while changed[0]:
+            changed[0] = False
+            root = L.map_lqp(root, visit)
+        return root
+
+
 class PredicateReorderingRule:
     """Sort consecutive predicates most-selective-first (reference:
     predicate_reordering_rule.cpp — descending selectivity toward the top,
@@ -411,6 +454,7 @@ class Optimizer:
             before = root.describe()
             root = JoinDetectionRule(self.stats).apply(root, catalog)
             root = PredicatePushdownRule().apply(root, catalog)
+            root = SemiJoinPushdownRule().apply(root, catalog)
             root = PredicateReorderingRule(self.stats).apply(root, catalog)
             if root.describe() == before:
                 break
