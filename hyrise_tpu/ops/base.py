@@ -57,9 +57,12 @@ class AbstractOperator:
         t0 = time.perf_counter()
         self._output = self._on_execute(context)
         # Block so walltime measures real device work, like the reference's
-        # per-operator timing in AbstractOperator::execute().
+        # per-operator timing in AbstractOperator::execute(). Lazy (not yet
+        # materialized) columns are NOT forced — their cost lands on the
+        # operator that first reads them.
         for c in self._output.columns:
-            c.data.block_until_ready()
+            if not c.is_lazy:
+                c.data.block_until_ready()
         self.performance_data.walltime_s = time.perf_counter() - t0
         return self._output
 

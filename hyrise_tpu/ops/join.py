@@ -129,18 +129,23 @@ def _expand_pairs(lo, counts, build_perm, out_cap):
 
 def _gather_columns(table: Table, indices: jax.Array,
                     extra_valid: Optional[jax.Array]) -> List[Column]:
-    """Gather columns at indices; extra_valid (aligned with indices) marks
-    rows that must become NULL (outer-join padding)."""
+    """Gather columns at indices — LAZILY (late materialization): only
+    columns read downstream pay their gather. extra_valid (aligned with
+    indices) marks rows that must become NULL (outer-join padding)."""
+    cap = int(indices.shape[0])
     cols = []
     for c in table.columns:
-        data = jnp.take(c.data, indices, axis=0)
-        if c.validity is not None:
-            v = jnp.take(c.validity, indices, axis=0)
+        data = (lambda col=c: jnp.take(col.data, indices, axis=0))
+        if c.has_validity:
             if extra_valid is not None:
-                v = v & extra_valid
+                v = (lambda col=c:
+                     jnp.take(col.validity, indices, axis=0) & extra_valid)
+            else:
+                v = (lambda col=c: jnp.take(col.validity, indices, axis=0))
         else:
             v = extra_valid
-        cols.append(Column(c.name, c.dtype, data, v, c.dictionary))
+        cols.append(Column(c.name, c.dtype, data, v, c.dictionary,
+                           capacity_hint=cap))
     return cols
 
 

@@ -35,22 +35,30 @@ def mask_to_indices(mask: jax.Array) -> Tuple[jax.Array, int]:
 
 
 @jax.jit
-def _gather_arrays(arrays, indices):
-    return jax.tree.map(lambda a: jnp.take(a, indices, axis=0), arrays)
+def _take(a, indices):
+    return jnp.take(a, indices, axis=0)
 
 
 def gather_table(table: Table, indices: jax.Array, count: int,
-                 name: Optional[str] = None) -> Table:
-    """Materialize table[indices[:count]] into a new dense table."""
-    datas = [c.data for c in table.columns]
-    vals = [c.validity for c in table.columns if c.validity is not None]
-    g_datas = _gather_arrays(datas, indices)
-    g_vals = iter(_gather_arrays(vals, indices)) if vals else iter(())
+                 name: Optional[str] = None, lazy: bool = True) -> Table:
+    """table[indices[:count]] as a new table.
+
+    By default the per-column gathers are LAZY (late materialization, the
+    ReferenceColumn idea): each output column holds a thunk and only columns
+    actually read downstream pay the gather — the dominant cost in wide
+    multi-join plans."""
+    cap = int(indices.shape[0])
     cols = []
-    for c, gd in zip(table.columns, g_datas):
-        gv = next(g_vals) if c.validity is not None else None
-        cols.append(Column(name=c.name, dtype=c.dtype, data=gd, validity=gv,
-                           dictionary=c.dictionary))
+    for c in table.columns:
+        if lazy:
+            data = (lambda col=c: _take(col.data, indices))
+            validity = ((lambda col=c: _take(col.validity, indices))
+                        if c.has_validity else None)
+        else:
+            data = _take(c.data, indices)
+            validity = _take(c.validity, indices) if c.has_validity else None
+        cols.append(Column(c.name, c.dtype, data, validity, c.dictionary,
+                           capacity_hint=cap))
     return Table(cols, count, name=name if name is not None else table.name)
 
 

@@ -70,21 +70,52 @@ def merge_dictionaries(dict_a: np.ndarray, dict_b: np.ndarray):
     return merged, remap_a, remap_b
 
 
-@dataclasses.dataclass
 class Column:
     """A named, typed, device-resident column.
 
     data:      jax.Array of shape (capacity,) — dict codes for STRING.
-    validity:  optional jax.Array bool (capacity,), True = valid (not NULL).
-               None means "no NULLs among live rows".
+               May be constructed LAZILY from a zero-arg thunk (late
+               materialization, the ReferenceColumn role): the thunk runs on
+               first access and the result is cached, so operators that
+               gather N columns only pay for the ones actually read.
+    validity:  optional jax.Array bool (capacity,), True = valid (not NULL);
+               may also be a thunk. None means "no NULLs among live rows".
     dictionary: host numpy array of strings for STRING columns (sorted).
     """
 
-    name: str
-    dtype: DataType
-    data: jax.Array
-    validity: Optional[jax.Array] = None
-    dictionary: Optional[np.ndarray] = None
+    __slots__ = ("name", "dtype", "_data", "_validity", "dictionary",
+                 "_capacity_hint")
+
+    def __init__(self, name: str, dtype: DataType, data,
+                 validity=None, dictionary: Optional[np.ndarray] = None,
+                 capacity_hint: Optional[int] = None):
+        self.name = name
+        self.dtype = dtype
+        self._data = data
+        self._validity = validity
+        self.dictionary = dictionary
+        self._capacity_hint = capacity_hint
+
+    @property
+    def data(self) -> jax.Array:
+        if callable(self._data):
+            self._data = self._data()
+        return self._data
+
+    @property
+    def validity(self) -> Optional[jax.Array]:
+        if callable(self._validity):
+            self._validity = self._validity()
+        return self._validity
+
+    @property
+    def is_lazy(self) -> bool:
+        return callable(self._data) or callable(self._validity)
+
+    @property
+    def has_validity(self) -> bool:
+        """Whether a validity mask exists, WITHOUT materializing it."""
+        return self._validity is not None
 
     # -- constructors --------------------------------------------------------
 
@@ -121,6 +152,8 @@ class Column:
 
     @property
     def capacity(self) -> int:
+        if callable(self._data) and self._capacity_hint is not None:
+            return self._capacity_hint
         return self.data.shape[0]
 
     def valid_mask(self) -> jax.Array:
@@ -150,7 +183,9 @@ class Column:
         return data
 
     def with_name(self, name: str) -> "Column":
-        return dataclasses.replace(self, name=name)
+        # shares the (possibly still-unmaterialized) payload
+        return Column(name, self.dtype, self._data, self._validity,
+                      self.dictionary, self._capacity_hint)
 
     def code_for(self, value: str) -> Optional[int]:
         """Exact dictionary code of a string value, or None if absent."""

@@ -23,8 +23,10 @@ def _output_bytes(op: AbstractOperator) -> int:
         return 0
     total = 0
     for c in t.columns:
+        if c.is_lazy:
+            continue  # never materialized: no bytes produced
         total += c.data.size * c.data.dtype.itemsize
-        if c.validity is not None:
+        if c.has_validity:
             total += c.validity.size
     return total
 
