@@ -110,6 +110,74 @@ class ConstantCalculationRule:
         return L.map_lqp(root, visit)
 
 
+class DisjunctionInferenceRule:
+    """Derive pushable implied predicates from OR-of-AND predicates.
+
+    (a=1 AND b=2) OR (a=3 AND c=4)  implies  a IN (1, 3): any column
+    constrained by EQUALS/IN literals in EVERY branch yields a necessary
+    IN-list that pushdown can move to the column's relation — the standard
+    rewrite behind TPC-H Q7's nation pairs and Q19's brand/container OR.
+    The original predicate is kept (the implication is necessary, not
+    sufficient)."""
+
+    def apply(self, root: L.LQPNode, catalog) -> L.LQPNode:
+        def branch_constraints(e) -> Optional[Dict[str, Set]]:
+            """column -> set of literal values, for one OR branch."""
+            if isinstance(e, ast.Logical) and e.op == "and":
+                a = branch_constraints(e.left)
+                b = branch_constraints(e.right)
+                out: Dict[str, Set] = {}
+                for d in (a, b):
+                    if d:
+                        for k, v in d.items():
+                            out.setdefault(k, set()).update(v)
+                return out
+            if isinstance(e, ast.Comparison) and \
+                    e.cond is PredicateCondition.EQUALS:
+                if isinstance(e.left, ast.ColumnRef) and \
+                        isinstance(e.right, ast.Literal):
+                    return {e.left.name: {e.right.value}}
+                if isinstance(e.right, ast.ColumnRef) and \
+                        isinstance(e.left, ast.Literal):
+                    return {e.right.name: {e.left.value}}
+            if isinstance(e, ast.InList) and not e.negate and \
+                    isinstance(e.value, ast.ColumnRef) and \
+                    all(isinstance(o, ast.Literal) for o in e.options):
+                return {e.value.name: {o.value for o in e.options}}
+            return {}
+
+        def or_branches(e):
+            if isinstance(e, ast.Logical) and e.op == "or":
+                return or_branches(e.left) + or_branches(e.right)
+            return [e]
+
+        def visit(n: L.LQPNode) -> L.LQPNode:
+            if not isinstance(n, L.PredicateNode):
+                return n
+            if getattr(n, "_dij_done", False):
+                return n
+            branches = or_branches(n.predicate)
+            if len(branches) < 2:
+                return n
+            per_branch = [branch_constraints(b) for b in branches]
+            common = set(per_branch[0]) if per_branch[0] else set()
+            for d in per_branch[1:]:
+                common &= set(d) if d else set()
+            out = n
+            n._dij_done = True
+            for colname in sorted(common):
+                values = set()
+                for d in per_branch:
+                    values |= d[colname]
+                implied = ast.InList(ast.col(colname),
+                                     [ast.lit(v) for v in sorted(values)])
+                out = L.PredicateNode(implied, out)
+                out._dij_done = True
+            return out
+
+        return L.map_lqp(root, visit)
+
+
 class JoinDetectionRule:
     """Predicate(l == r) over CrossJoin -> equi JoinNode when l and r come
     from different sides (reference: strategy/join_detection_rule.cpp).
@@ -275,6 +343,15 @@ class SemiJoinPushdownRule:
             probe, build = n.children
             key = n.left_col
             if isinstance(probe, L.PredicateNode):
+                # commute below predicates ONLY to reach a join further down;
+                # over a plain relation the predicate is the cheaper filter
+                # and must run first (Q4/Q21: date filter before the semi)
+                below = probe
+                while isinstance(below, L.PredicateNode):
+                    below = below.children[0]
+                if not (isinstance(below, L.JoinNode) and below.mode in
+                        (JoinMode.INNER, JoinMode.CROSS)):
+                    return n
                 n.children[0] = probe.children[0]
                 probe.children[0] = n
                 changed[0] = True
@@ -450,6 +527,7 @@ class Optimizer:
 
     def optimize(self, root: L.LQPNode, catalog=None) -> L.LQPNode:
         root = ConstantCalculationRule().apply(root, catalog)
+        root = DisjunctionInferenceRule().apply(root, catalog)
         for _ in range(100):  # iterative batch
             before = root.describe()
             root = JoinDetectionRule(self.stats).apply(root, catalog)
