@@ -26,7 +26,9 @@ class Console:
         self.tm = default_transaction_manager()
         self.context = None
         self.out = out or sys.stdout
-        self.use_mvcc = False
+        # MVCC validation on by default, like the reference console —
+        # otherwise DML appears ineffective (deleted rows stay visible).
+        self.use_mvcc = True
         self.last_plan = None
 
     def println(self, *a):
