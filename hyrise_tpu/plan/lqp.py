@@ -159,6 +159,17 @@ class UnionNode(LQPNode):
 
 
 @_node
+class DifferenceNode(LQPNode):
+    """Set difference by full-row equality (reference: difference.cpp)."""
+
+    def __init__(self, left: LQPNode, right: LQPNode):
+        self.children = [left, right]
+
+    def __repr__(self):
+        return "[Difference]"
+
+
+@_node
 class AliasNode(LQPNode):
     names: List[str]
     sources: Optional[List[str]]

@@ -458,8 +458,8 @@ class ColumnPruningRule:
                     cols |= set(n.sources)
             elif isinstance(n, L.AliasNode) and n.sources is None:
                 return None  # positional alias: needs all columns
-            elif isinstance(n, (L.UnionNode, L.DistinctNode, L.InsertNode,
-                                L.DeleteNode, L.UpdateNode)):
+            elif isinstance(n, (L.UnionNode, L.DifferenceNode, L.DistinctNode,
+                                L.InsertNode, L.DeleteNode, L.UpdateNode)):
                 return None  # conservative: all columns
             return cols
 

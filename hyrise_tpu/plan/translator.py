@@ -152,6 +152,8 @@ def translate_lqp(node: L.LQPNode, catalog=None,
     elif isinstance(node, L.UnionNode):
         cls = UnionAll if node.kind == "all" else UnionPositions
         op = cls(T(node.children[0]), T(node.children[1]))
+    elif isinstance(node, L.DifferenceNode):
+        op = Difference(T(node.children[0]), T(node.children[1]))
     elif isinstance(node, L.AliasNode):
         op = Alias(T(node.children[0]), node.names, node.sources)
     elif isinstance(node, L.ValidateNode):

@@ -42,6 +42,10 @@ KEYWORDS = {
 }
 
 
+# identifiers that terminate a SELECT instead of acting as implicit aliases
+SOFT_RESERVED = {"except", "intersect"}
+
+
 @dataclasses.dataclass
 class Token:
     kind: str  # num | str | id | kw | op | qid
@@ -168,6 +172,17 @@ class ShowStmt:
 @dataclasses.dataclass
 class ExplainStmt:
     stmt: object
+
+
+@dataclasses.dataclass
+class SetOpStmt:
+    """UNION / UNION ALL / EXCEPT / INTERSECT of two selects."""
+
+    op: str  # union | union_all | except | intersect
+    left: object
+    right: object
+    orderby: list = dataclasses.field(default_factory=list)
+    limit: Optional[int] = None
 
 
 # expression tree nodes (parser-level; translator maps to expression.ast)
@@ -326,7 +341,7 @@ class Parser:
 
     def parse_statement(self):
         if self.at_kw("select"):
-            return self.parse_select()
+            return self.parse_select_compound()
         if self.at_kw("insert"):
             return self.parse_insert()
         if self.at_kw("update"):
@@ -349,6 +364,34 @@ class Parser:
             return ExplainStmt(self.parse_statement())
         raise SQLParseError(f"cannot parse statement at {t.value!r} ({t.pos})")
 
+    def parse_select_compound(self):
+        """SELECT ... [UNION [ALL] | EXCEPT | INTERSECT SELECT ...]*
+        with trailing ORDER BY / LIMIT applying to the compound."""
+        left = self.parse_select()
+        out = left
+        while True:
+            t = self.peek()
+            op = None
+            if self.at_kw("union"):
+                self.take()
+                op = "union"
+                if self.at_kw("all"):
+                    self.take()
+                    op = "union_all"
+            elif t is not None and t.kind == "id" and \
+                    t.value.lower() in ("except", "intersect"):
+                op = self.take().value.lower()
+            if op is None:
+                return out
+            right = self.parse_select()
+            orderby, limit = [], None
+            # trailing ORDER BY / LIMIT bound to the whole compound: the
+            # inner parse consumed them into `right`; hoist them out
+            if right.orderby or right.limit is not None:
+                orderby, limit = right.orderby, right.limit
+                right.orderby, right.limit = [], None
+            out = SetOpStmt(op, out, right, orderby, limit)
+
     def parse_select(self) -> SelectStmt:
         self.expect_kw("select")
         distinct = False
@@ -366,7 +409,8 @@ class Parser:
                 if self.at_kw("as"):
                     self.take()
                     alias = self.ident()
-                elif self.peek() is not None and self.peek().kind == "id":
+                elif self.peek() is not None and self.peek().kind == "id" \
+                        and self.peek().value.lower() not in SOFT_RESERVED:
                     alias = self.take().value
                 select.append((alias, e))
             if self.at_op(","):
@@ -472,7 +516,8 @@ class Parser:
         if self.at_kw("as"):
             self.take()
             alias = self.ident()
-        elif self.peek() is not None and self.peek().kind == "id":
+        elif self.peek() is not None and self.peek().kind == "id" \
+                and self.peek().value.lower() not in SOFT_RESERVED:
             alias = self.take().value
         return TableRef(name, None, alias)
 

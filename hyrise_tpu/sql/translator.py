@@ -138,6 +138,8 @@ class SQLToLQPTranslator:
         if isinstance(stmt, P.SelectStmt):
             node, _ = self._select(stmt, Scope())
             return node
+        if isinstance(stmt, P.SetOpStmt):
+            return self._set_op(stmt)
         if isinstance(stmt, P.InsertStmt):
             return self._insert(stmt)
         if isinstance(stmt, P.DeleteStmt):
@@ -164,6 +166,42 @@ class SQLToLQPTranslator:
             return (L.ShowTablesNode() if stmt.what == "tables"
                     else L.ShowColumnsNode(stmt.table))
         raise SQLTranslationError(f"cannot translate {type(stmt).__name__}")
+
+    def _set_op(self, stmt: P.SetOpStmt) -> L.LQPNode:
+        def side(s):
+            if isinstance(s, P.SetOpStmt):
+                return self._set_op(s), None
+            node, names = self._select(s, Scope())
+            return node, names
+
+        left, l_names = side(stmt.left)
+        right, _ = side(stmt.right)
+        if stmt.op == "union_all":
+            node: L.LQPNode = L.UnionNode("all", left, right)
+        elif stmt.op == "union":
+            node = L.UnionNode("positions", left, right)
+        elif stmt.op == "except":
+            node = L.DistinctNode(L.DifferenceNode(left, right))
+        elif stmt.op == "intersect":
+            # A INTERSECT B == distinct(A) \ (distinct(A) \ B)
+            da = L.DistinctNode(left)
+            node = L.DifferenceNode(da, L.DifferenceNode(da, right))
+        else:
+            raise SQLTranslationError(f"unknown set op {stmt.op}")
+        if stmt.orderby and l_names:
+            defs = []
+            for e, d in stmt.orderby:
+                if isinstance(e, P.EColumn) and e.name in l_names:
+                    from hyrise_tpu.types import SortMode as SM
+                    defs.append((e.name, SM.ASCENDING if d == "asc"
+                                 else SM.DESCENDING))
+                else:
+                    raise SQLTranslationError(
+                        "compound ORDER BY must use output column names")
+            node = L.SortNode(defs, node)
+        if stmt.limit is not None:
+            node = L.LimitNode(stmt.limit, node)
+        return node
 
     # -- SELECT --------------------------------------------------------------
 
