@@ -344,6 +344,15 @@ class JoinIndex(Join):
     name = "JoinIndex"
 
 
+class JoinMPSM(Join):
+    """Reference JoinMPSM (NUMA-aware massively-parallel sort-merge,
+    join_mpsm.cpp): its per-NUMA-node clustering maps to the per-shard
+    clustering of the distributed path (parallel/exchange.py); single-chip
+    execution is this same sorted engine."""
+
+    name = "JoinMPSM"
+
+
 class JoinNestedLoop(AbstractOperator):
     """True O(n·m) fallback with arbitrary row-pair predicate, evaluated in
     column blocks (reference join_nested_loop.cpp). Used for correctness
