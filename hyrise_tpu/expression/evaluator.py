@@ -436,7 +436,7 @@ class _Compiler:
             out_dt = common_numeric_type(out_dt, t) if out_dt is not DataType.STRING \
                 else DataType.STRING
         if out_dt is DataType.STRING:
-            raise NotImplementedError("string-valued CASE")
+            return self._string_case(whens, other)
         cap = self.table.capacity
 
         def fn(env: Env) -> Value:
@@ -464,6 +464,56 @@ class _Compiler:
             return data, valid
 
         return _C(out_dt, None, fn)
+
+    def _string_case(self, whens, other) -> _C:
+        """CASE with string-valued branches: merge all branch dictionaries,
+        remap each branch's codes into the merged code space, where-chain."""
+        branches = [v for _, v in whens] + ([other] if other is not None else [])
+        for b in branches:
+            if b.dtype not in (DataType.STRING, DataType.NULL):
+                raise TypeError("CASE mixes string and non-string branches")
+        merged = np.array([], dtype=str)
+        for b in branches:
+            if b.dtype is DataType.STRING:
+                merged = np.unique(np.concatenate(
+                    [merged.astype(str), b.dictionary.astype(str)]))
+
+        def remap_of(b):
+            if b.dtype is not DataType.STRING:
+                return None
+            r = np.searchsorted(merged, b.dictionary).astype(np.int32)
+            return jnp.asarray(r) if len(r) else jnp.zeros(1, dtype=jnp.int32)
+
+        remaps = [remap_of(b) for b in branches]
+        cap = self.table.capacity
+
+        def fn(env: Env) -> Value:
+            def branch_value(i):
+                b = branches[i]
+                d, v = b.fn(env)
+                if b.dtype is DataType.STRING:
+                    d = remaps[i][jnp.clip(d, 0, remaps[i].shape[0] - 1)]
+                return d, v
+
+            if other is not None:
+                data, valid = branch_value(len(branches) - 1)
+            else:
+                data = jnp.zeros(cap, dtype=jnp.int32)
+                valid = jnp.zeros(cap, dtype=bool)
+            for idx in range(len(whens) - 1, -1, -1):
+                cond_c = whens[idx][0]
+                cd, cv = cond_c.fn(env)
+                cd = cd.astype(bool)
+                if cv is not None:
+                    cd = cd & cv
+                vd, vv = branch_value(idx)
+                data = jnp.where(cd, vd, data)
+                base_v = jnp.ones(cap, dtype=bool) if valid is None else valid
+                new_v = jnp.ones(cap, dtype=bool) if vv is None else vv
+                valid = jnp.where(cd, new_v, base_v)
+            return data, valid
+
+        return _C(DataType.STRING, merged, fn)
 
     def _cast(self, e: ast.Cast) -> _C:
         vc = self.compile(e.value)
