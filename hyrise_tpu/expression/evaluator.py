@@ -551,9 +551,38 @@ class _Compiler:
 
             return _C(DataType.STRING, new_dict, fn)
         if name == "concat":
-            # Only literal ++ column or column ++ literal via dictionary rewrite.
-            raise NotImplementedError("CONCAT")
+            return self._concat(e.args)
         raise NotImplementedError(f"function {name}")
+
+    def _concat(self, args) -> _C:
+        """String concatenation in code space: the result dictionary is the
+        (deduplicated) cross product of the operand dictionaries, bounded to
+        keep the rewrite cheap; most real uses pair a column with literals."""
+        compiled = [self.compile(a) for a in args]
+        out = compiled[0]
+        for nxt in compiled[1:]:
+            out = self._concat2(out, nxt)
+        return out
+
+    def _concat2(self, lc: _C, rc: _C) -> _C:
+        if lc.dtype is not DataType.STRING or rc.dtype is not DataType.STRING:
+            raise TypeError("CONCAT requires string operands")
+        d1 = lc.dictionary if len(lc.dictionary) else np.array([""], dtype=str)
+        d2 = rc.dictionary if len(rc.dictionary) else np.array([""], dtype=str)
+        if len(d1) * len(d2) > 1 << 16:
+            raise NotImplementedError(
+                "CONCAT of two high-cardinality string columns")
+        pairs = np.array([a + b for a in d1 for b in d2], dtype=object)
+        merged, inverse = np.unique(pairs.astype(str), return_inverse=True)
+        remap = jnp.asarray(inverse.astype(np.int32).reshape(len(d1), len(d2)))
+
+        def fn(env: Env) -> Value:
+            (ld, lv), (rd, rv) = lc.fn(env), rc.fn(env)
+            li = jnp.clip(ld, 0, remap.shape[0] - 1)
+            ri = jnp.clip(rd, 0, remap.shape[1] - 1)
+            return remap[li, ri], _and_validity(lv, rv)
+
+        return _C(DataType.STRING, merged, fn)
 
 
 def _apply_cmp(cond: PredicateCondition, a, b):

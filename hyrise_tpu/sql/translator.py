@@ -799,8 +799,7 @@ class SQLToLQPTranslator:
                 return ast.Comparison(_COND_MAP[e.op], rec(e.left),
                                       rec(e.right))
             if e.op == "||":
-                raise SQLTranslationError("string concatenation (||) "
-                                          "not supported yet")
+                return ast.FunctionCall("concat", [rec(e.left), rec(e.right)])
             return ast.Arithmetic(e.op, rec(e.left), rec(e.right))
         if isinstance(e, P.EUnary):
             if e.op == "not":
