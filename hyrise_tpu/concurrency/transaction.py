@@ -53,13 +53,22 @@ class MvccData:
         return MvccData(tids, begin, end)
 
     def grow(self, new_capacity: int) -> "MvccData":
+        """Grow IN PLACE (mutating the shared object) and return self.
+
+        Pending read-write operators hold references to this MvccData; if
+        growth returned a fresh object their commit_records would write into
+        orphaned arrays (lost deletes / permanently-invisible inserts). The
+        reference has no such hazard because its MvccColumns vectors are
+        grown in place under the append mutex (chunk.hpp / insert.cpp).
+        """
         def _grow(a, fill):
             out = np.full(new_capacity, fill, dtype=np.int64)
             out[:len(a)] = a
             return out
-        return MvccData(_grow(self.tids, 0),
-                        _grow(self.begin_cids, MAX_COMMIT_ID),
-                        _grow(self.end_cids, MAX_COMMIT_ID))
+        self.tids = _grow(self.tids, 0)
+        self.begin_cids = _grow(self.begin_cids, MAX_COMMIT_ID)
+        self.end_cids = _grow(self.end_cids, MAX_COMMIT_ID)
+        return self
 
 
 class TransactionPhase(enum.Enum):
@@ -116,7 +125,8 @@ class TransactionManager:
         self._lock = threading.Lock()
         self._next_tid = 1
         self._last_commit_id = 0
-        self._pending = 0
+        self._next_cid = 1
+        self._published: set = set()
 
     @property
     def last_commit_id(self) -> int:
@@ -130,21 +140,27 @@ class TransactionManager:
 
     def _next_commit_id_locked(self) -> np.int64:
         with self._lock:
-            cid = np.int64(self._last_commit_id + 1 + self._pending)
-            self._pending += 1
+            cid = np.int64(self._next_cid)
+            self._next_cid += 1
             return cid
 
     def _publish_commit_id(self, cid: np.int64) -> None:
+        """Advance last_commit_id only over a CONTIGUOUS prefix of published
+        cids (the reference's CommitContext chain, commit_context.hpp):
+        a higher cid finishing first must not expose still-writing lower
+        cids to new snapshots."""
         with self._lock:
-            self._pending -= 1
-            if cid > self._last_commit_id:
-                self._last_commit_id = int(cid)
+            self._published.add(int(cid))
+            while (self._last_commit_id + 1) in self._published:
+                self._published.remove(self._last_commit_id + 1)
+                self._last_commit_id += 1
 
     def reset(self) -> None:
         with self._lock:
             self._next_tid = 1
             self._last_commit_id = 0
-            self._pending = 0
+            self._next_cid = 1
+            self._published.clear()
 
 
 _default: Optional[TransactionManager] = None

@@ -57,6 +57,11 @@ class FusedFilterAggregate(AbstractOperator):
             c = table.column(name)
             if c.dtype is not DataType.STRING:
                 raise TypeError("fused group-by requires dictionary columns")
+            if c.has_validity:
+                # NULL group keys need their own group (the general path's
+                # validity-aware clustering); the cell arithmetic here would
+                # merge them into dictionary[0] — fall back.
+                raise TypeError("fused group-by requires non-NULL group keys")
             sizes.append(max(len(c.dictionary), 1))
         n_cells = int(np.prod(sizes)) if sizes else 1
 
@@ -72,6 +77,11 @@ class FusedFilterAggregate(AbstractOperator):
                 agg_specs.append((out_name, agg.fn, None, DataType.INT64))
             else:
                 ce = compile_expression(agg.arg, table)
+                if ce.dtype is DataType.STRING and \
+                        agg.fn is not AggregateFunction.COUNT:
+                    # string MIN/MAX must carry the dictionary through —
+                    # handled by the general path only.
+                    raise TypeError("fused aggregate on STRING argument")
                 agg_specs.append((out_name, agg.fn, ce, ce.dtype))
 
         required = set(self.groupby)
@@ -108,41 +118,44 @@ class FusedFilterAggregate(AbstractOperator):
             counts = jax.ops.segment_sum(
                 jnp.ones(cap, dtype=jnp.int64), cell,
                 num_segments=seg)[:n_cells]
-            outs = [counts]
-            for _, fn, ce, _ in agg_specs:
+            outs = [counts]  # then per aggregate: (result, n_valid_inputs)
+            for _, fn, ce, in_dt in agg_specs:
                 if ce is None:  # COUNT(*)
-                    outs.append(counts)
+                    outs.append((counts, counts))
                     continue
                 vals, v = ce.fn(env)
-                vals64 = vals.astype(jnp.float64)
+                # integer SUM accumulates in int64 (exact past 2^53, like
+                # the general path / aggregate_traits.hpp); floats in f64.
+                int_sum = fn is AggregateFunction.SUM and in_dt.is_integral
+                vals_acc = vals.astype(jnp.int64 if int_sum else jnp.float64)
                 m = mask if v is None else (mask & v)
                 cell_m = jnp.where(m, cell, n_cells)
+                # per-aggregate valid-input counts: an all-NULL-input group
+                # must yield NULL (not 0) for SUM/MIN/MAX/AVG.
+                cvalid = jax.ops.segment_sum(
+                    m.astype(jnp.int64), cell_m, num_segments=seg)[:n_cells]
                 if fn is AggregateFunction.SUM:
                     r = jax.ops.segment_sum(
-                        jnp.where(m, vals64, 0.0), cell_m,
-                        num_segments=seg)[:n_cells]
+                        jnp.where(m, vals_acc, jnp.zeros_like(vals_acc)),
+                        cell_m, num_segments=seg)[:n_cells]
                 elif fn is AggregateFunction.COUNT:
-                    r = jax.ops.segment_sum(
-                        m.astype(jnp.int64), cell_m, num_segments=seg)[:n_cells]
+                    r = cvalid
                 elif fn is AggregateFunction.AVG:
                     s = jax.ops.segment_sum(
-                        jnp.where(m, vals64, 0.0), cell_m,
+                        jnp.where(m, vals_acc, 0.0), cell_m,
                         num_segments=seg)[:n_cells]
-                    c = jax.ops.segment_sum(
-                        m.astype(jnp.float64), cell_m,
-                        num_segments=seg)[:n_cells]
-                    r = s / jnp.maximum(c, 1.0)
+                    r = s / jnp.maximum(cvalid.astype(jnp.float64), 1.0)
                 elif fn is AggregateFunction.MIN:
                     r = jax.ops.segment_min(
-                        jnp.where(m, vals64, jnp.inf), cell_m,
+                        jnp.where(m, vals_acc, jnp.inf), cell_m,
                         num_segments=seg)[:n_cells]
                 elif fn is AggregateFunction.MAX:
                     r = jax.ops.segment_max(
-                        jnp.where(m, vals64, -jnp.inf), cell_m,
+                        jnp.where(m, vals_acc, -jnp.inf), cell_m,
                         num_segments=seg)[:n_cells]
                 else:
                     raise NotImplementedError(fn)
-                outs.append(r)
+                outs.append((r, cvalid))
             return outs
 
         self._jitted = jax.jit(compute, static_argnames=("num_rows",))
@@ -164,8 +177,11 @@ class FusedFilterAggregate(AbstractOperator):
 
     def _on_execute(self, context) -> Table:
         table = self.input_table(0)
-        if self._jitted is None or getattr(self, "_built_for", None) != id(table):
-            self._built_for = id(table)
+        # strong table reference + identity check (an id() key can collide
+        # after GC reuses the address of a dead table)
+        if self._jitted is None or getattr(self, "_built_for_table", None) \
+                is not table:
+            self._built_for_table = table
             try:
                 self._build(table)
             except TypeError:
@@ -195,13 +211,12 @@ class FusedFilterAggregate(AbstractOperator):
             codes = (sel // stride) % sizes[gi]
             cols.append(Column(name, DataType.STRING,
                                codes.astype(jnp.int32), None, c.dictionary))
-        sel_counts = jnp.take(counts, sel, axis=0)
-        for (out_name, fn, ce, in_dt), data in zip(agg_specs, aggs):
+        for (out_name, fn, ce, in_dt), (data, cvalid) in zip(agg_specs, aggs):
             data = jnp.take(data, sel, axis=0)
             out_dt = aggregate_result_type(fn, in_dt)
             valid = None
-            if fn not in (AggregateFunction.COUNT,):
-                valid = sel_counts > 0
+            if fn is not AggregateFunction.COUNT and ce is not None:
+                valid = jnp.take(cvalid, sel, axis=0) > 0
             cols.append(Column(out_name, out_dt,
                                data.astype(out_dt.numpy_dtype), valid, None))
         return Table(cols, n_groups, name=table.name)

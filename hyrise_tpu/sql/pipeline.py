@@ -161,7 +161,9 @@ class SQLPipelineStatement:
                 sub_plan = translate_lqp(
                     self.optimizer.optimize(e.lqp, self.catalog), self.catalog)
                 t = execute_plan(sub_plan, self.context)
-                assert t.num_rows >= 1, "scalar subquery returned no rows"
+                if t.num_rows == 0:
+                    # SQL: an empty scalar subquery evaluates to NULL
+                    return ast.lit(None)
                 v = t.columns[0].decode(1)[0]
                 if v is not None and not isinstance(v, str):
                     v = float(v) if hasattr(v, "__float__") and \

@@ -1,12 +1,15 @@
 """FusedFilterAggregate must reproduce TableScan+Aggregate (Q1/Q6 shapes)."""
 
+import numpy as np
+
 from hyrise_tpu.expression.ast import avg_, col, count_, lit, sum_
 from hyrise_tpu.kernels.fused import FusedFilterAggregate
-from hyrise_tpu.ops import GetTable, execute_plan
+from hyrise_tpu.ops import GetTable, TableWrapper, execute_plan
 from hyrise_tpu.ops.aggregate import Aggregate
 from hyrise_tpu.ops.sort import Sort
 from hyrise_tpu.ops.table_scan import TableScan
 from hyrise_tpu.storage.catalog import Catalog
+from hyrise_tpu.storage.table import Table
 from hyrise_tpu.tpch.dbgen import generate_tables
 from hyrise_tpu.utils.table_eq import assert_tables_equal
 
@@ -71,3 +74,42 @@ def test_fused_reexecution_uses_cache():
     r2 = execute_plan(op).rows()
     assert r1 == r2
     assert op._jitted is not None
+
+
+def test_fused_falls_back_on_null_group_keys():
+    """NULL group keys must form their own group (general path), not merge
+    into dictionary[0]."""
+    import pandas as pd
+    df = pd.DataFrame({"g": ["a", None, "a", None], "x": [1.0, 2.0, 3.0, 4.0]})
+    t = Table.from_pandas("t", df)
+    op = FusedFilterAggregate(TableWrapper(t), None, ["g"],
+                              [("s", sum_(col("x")))])
+    out = execute_plan(op)
+    rows = {r[0]: r[1] for r in out.rows()}
+    assert rows["a"] == 4.0
+    assert rows[None] == 6.0
+
+
+def test_fused_all_null_input_group_is_null():
+    """SUM over a group whose aggregate inputs are all NULL is NULL, not 0."""
+    import pandas as pd
+    df = pd.DataFrame({"g": ["a", "a", "b"], "x": [None, None, 7.0]})
+    t = Table.from_pandas("t", df)
+    op = FusedFilterAggregate(TableWrapper(t), None, ["g"],
+                              [("s", sum_(col("x")))])
+    out = execute_plan(op)
+    rows = {r[0]: r[1] for r in out.rows()}
+    assert rows["a"] is None
+    assert rows["b"] == 7.0
+
+
+def test_fused_integer_sum_uses_int64():
+    import pandas as pd
+    big = 2**31  # each beyond int32; sum far beyond float32 precision
+    df = pd.DataFrame({"g": ["a"] * 3,
+                       "x": np.array([big, big, 1], dtype=np.int64)})
+    t = Table.from_pandas("t", df)
+    op = FusedFilterAggregate(TableWrapper(t), None, ["g"],
+                              [("s", sum_(col("x")))])
+    out = execute_plan(op)
+    assert out.rows()[0][1] == 2 * big + 1

@@ -171,3 +171,52 @@ def test_visibility_truth_table():
     assert not visible(0, 1, 2, our_tid=5, snapshot=3)
     # deleted at cid 4, snapshot 3 -> still visible
     assert visible(0, 1, 4, our_tid=5, snapshot=3)
+
+
+def test_capacity_growth_preserves_pending_delete():
+    """A Delete pending while an Insert grows the table past its capacity
+    bucket must still commit into the LIVE mvcc arrays (grow is in-place on
+    the shared MvccData; a copy would orphan the delete -> lost delete)."""
+    cat = Catalog()
+    # fill to exactly the minimum capacity bucket so any insert grows
+    from hyrise_tpu.types import bucket_capacity
+    n = bucket_capacity(1)  # 1024
+    make_mvcc_table(cat, values=tuple(range(n)))
+    tm = TransactionManager()
+
+    ctx = tm.new_transaction_context()
+    # delete rows a < 2 (rows 0 and 1) -- NOT yet committed
+    rows = TableScan(Validate(AddRowIds(GetTable("t", cat))),
+                     col("a") < lit(2))
+    d = Delete("t", rows, cat)
+    run(d, ctx)
+    # now insert past capacity in the same transaction: table grows
+    vals = Table.from_pandas("v", pd.DataFrame(
+        {"a": np.array([777], dtype=np.int32)}))
+    ins = Insert("t", TableWrapper(vals), cat)
+    run(ins, ctx)
+    assert cat.get_table("t").capacity > n
+    ctx.commit()
+
+    ctx2 = tm.new_transaction_context()
+    out = run(Validate(GetTable("t", cat)), ctx2)
+    vals_out = sorted(np.asarray(out.column("a").decode(out.num_rows)))
+    assert len(vals_out) == n - 2 + 1          # delete survived the growth
+    assert 0 not in vals_out and 1 not in vals_out
+    assert 777 in vals_out                     # insert visible
+
+
+def test_commit_publication_is_in_order():
+    """last_commit_id must not advance past a still-pending lower cid
+    (snapshot isolation: T2's publish cannot expose mid-commit T1)."""
+    tm = TransactionManager()
+    t1 = tm.new_transaction_context()
+    t2 = tm.new_transaction_context()
+    cid1 = tm._next_commit_id_locked()
+    cid2 = tm._next_commit_id_locked()
+    assert int(cid1) == 1 and int(cid2) == 2
+    tm._publish_commit_id(cid2)     # T2 finishes first
+    assert tm.last_commit_id == 0   # held back: cid1 still writing
+    tm._publish_commit_id(cid1)
+    assert tm.last_commit_id == 2   # contiguous prefix released
+    del t1, t2

@@ -1,9 +1,7 @@
 """TPC-H through the FULL SQL front end (parse -> LQP -> optimize ->
 physical) vs the sqlite oracle — the reference's sqlite_testrunner pattern
-applied to the TPC-H texts.
-
-Q21 needs non-equality correlation in EXISTS (not yet supported in the SQL
-path; covered by the hand-built plan in tpch/queries.py) -> xfail.
+applied to the TPC-H texts. All 22 queries pass (Q21's multi-EXISTS
+correlation is decorrelated to semi/anti joins with residual predicates).
 """
 
 import pytest
