@@ -158,6 +158,7 @@ class FusedFilterAggregate(AbstractOperator):
                 outs.append((r, cvalid))
             return outs
 
+        self._compute = compute  # raw traceable form for whole-plan compile
         self._jitted = jax.jit(compute, static_argnames=("num_rows",))
         self._meta = (sizes, n_cells, agg_specs, required)
 
@@ -191,13 +192,19 @@ class FusedFilterAggregate(AbstractOperator):
                 return self._fallback(table, context)
         sizes, n_cells, agg_specs, required = self._meta
         env = make_env(table, required)
-        outs = self._jitted(env, num_rows=table.num_rows)
+        from hyrise_tpu.plan import compiler
+        if compiler.active() is not None:
+            # inside a whole-plan trace: inline the raw computation (the
+            # enclosing program is the jit boundary; num_rows may be traced)
+            outs = self._compute(env, jnp.asarray(table.num_rows))
+        else:
+            outs = self._jitted(env, num_rows=table.num_rows)
         counts, aggs = outs[0], outs[1:]
 
         if sizes:
             nonempty = counts > 0
-            n_groups = int(jnp.sum(nonempty))
-            cap = bucket_capacity(max(n_groups, 1))
+            n_groups, cap = compiler.oracle_capacity(
+                jnp.sum(nonempty), bound=n_cells, label="fused.groups")
             sel = jnp.nonzero(nonempty, size=cap, fill_value=0)[0]
         else:
             n_groups, cap = 1, 1

@@ -51,18 +51,22 @@ class Aggregate(AbstractOperator):
         n = table.num_rows
         cap = table.capacity
 
+        from hyrise_tpu.plan.compiler import oracle_capacity
+
         if self.groupby:
             perm = group_permutation(table, self.groupby)
             flags = group_boundaries(table, self.groupby, perm)
             gid = jnp.cumsum(flags.astype(jnp.int32)) - 1
-            n_groups = int(gid[n - 1]) + 1 if n > 0 else 0
+            last_gid = jnp.take(gid, jnp.maximum(jnp.asarray(n) - 1, 0))
+            n_groups_t = jnp.where(jnp.asarray(n) > 0, last_gid + 1, 0)
+            n_groups, seg_cap = oracle_capacity(
+                n_groups_t, bound=cap, label="aggregate.groups")
         else:
             perm = jnp.arange(cap)
             flags = jnp.zeros(cap, dtype=bool).at[0].set(True)
             gid = jnp.zeros(cap, dtype=jnp.int32)
             n_groups = 1  # global aggregate: always one output row
-
-        seg_cap = bucket_capacity(max(n_groups, 1))
+            seg_cap = bucket_capacity(1)
         live_sorted = jnp.arange(cap) < n
         out_cols: List[Column] = []
 

@@ -56,13 +56,17 @@ class AbstractOperator:
             return self._output
         t0 = time.perf_counter()
         self._output = self._on_execute(context)
-        # Block so walltime measures real device work, like the reference's
-        # per-operator timing in AbstractOperator::execute(). Lazy (not yet
-        # materialized) columns are NOT forced — their cost lands on the
-        # operator that first reads them.
-        for c in self._output.columns:
-            if not c.is_lazy:
-                c.data.block_until_ready()
+        from hyrise_tpu.plan import compiler
+        if compiler.active() is None:
+            # Block so walltime measures real device work, like the
+            # reference's per-operator timing in AbstractOperator::execute().
+            # Lazy (not yet materialized) columns are NOT forced — their cost
+            # lands on the operator that first reads them. Under whole-plan
+            # tracing there is nothing to block on (and walltime is
+            # meaningless: the program runs later as one kernel).
+            for c in self._output.columns:
+                if not c.is_lazy:
+                    c.data.block_until_ready()
         self.performance_data.walltime_s = time.perf_counter() - t0
         return self._output
 

@@ -22,7 +22,7 @@ class GetTable(AbstractOperator):
 
     def _on_execute(self, context) -> Table:
         cat = self.catalog if self.catalog is not None else default_catalog()
-        return cat.get_table(self.table_name)
+        return _maybe_traced(cat.get_table(self.table_name))
 
 
 class TableWrapper(AbstractOperator):
@@ -33,4 +33,27 @@ class TableWrapper(AbstractOperator):
         self.table = table
 
     def _on_execute(self, context) -> Table:
-        return self.table
+        return _maybe_traced(self.table)
+
+
+def _maybe_traced(t: Table) -> Table:
+    """Under whole-plan compilation, base tables must resolve to their
+    traced stand-ins (jit arguments) — returning the concrete table would
+    bake its device arrays into the program as giant constants."""
+    from hyrise_tpu.plan import compiler
+    ctx = compiler.active()
+    if ctx is None:
+        return t
+    sub = ctx.table_subst.get(id(t))
+    if sub is not None:
+        return sub
+    # a table created DURING the trace (e.g. UnionPositions' internal
+    # TableWrapper) already holds tracers / lazy thunks — pass it through
+    import jax
+    d = t.columns[0]._data
+    if callable(d) or isinstance(d, jax.core.Tracer):
+        return t
+    from hyrise_tpu.plan.compiler import PlanNotCompilable
+    raise PlanNotCompilable(
+        f"table {t.name!r} was not registered as a compile-time source "
+        f"(catalog changed after CompiledQuery construction?)")

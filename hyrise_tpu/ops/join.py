@@ -209,6 +209,8 @@ class Join(AbstractOperator):
         for _, c in range_lists[1:]:
             total_counts = total_counts + c
 
+        from hyrise_tpu.plan.compiler import oracle_capacity, tracing
+
         if mode in (JoinMode.SEMI, JoinMode.ANTI):
             live = probe_t.live_mask()
             if mode is JoinMode.SEMI:
@@ -218,16 +220,17 @@ class Join(AbstractOperator):
             from hyrise_tpu.ops.materialize import filter_table
             return filter_table(probe_t, keep)
 
-        total = int(jnp.sum(total_counts))
+        probe_cap = int(total_counts.shape[0])
 
-        segments = []  # (probe_idx, build_idx, matched_flag) pieces
+        segments = []  # (probe_idx, build_idx, seg_total, out_cap) pieces
         for lo, counts in range_lists:
-            # single-range joins (equi/range conds): reuse the already-synced
-            # total instead of a second ~25ms device->host round trip
-            seg_total = total if len(range_lists) == 1 else int(jnp.sum(counts))
-            if seg_total == 0 and len(range_lists) > 1:
+            # speculative expansion capacity: estimate one match per probe
+            # row (exact for FK equi joins); the oracle's overflow retry
+            # corrects fan-out > 1. Eagerly this is the count host sync.
+            seg_total, out_cap = oracle_capacity(
+                jnp.sum(counts), estimate=probe_cap, label="join.expand")
+            if not tracing() and seg_total == 0 and len(range_lists) > 1:
                 continue
-            out_cap = bucket_capacity(seg_total)
             p_idx, b_idx = _expand_pairs(lo, counts, build_perm, out_cap)
             segments.append((p_idx[:out_cap], b_idx, seg_total, out_cap))
 
@@ -236,15 +239,15 @@ class Join(AbstractOperator):
             probe_parts.append(p_idx)
             build_parts.append(b_idx)
             flags_parts.append(jnp.ones(out_cap, dtype=bool))
-            counts_rows += seg_total
+            counts_rows = counts_rows + seg_total
 
         # Unmatched probe rows for LEFT / OUTER.
         n_unmatched = 0
         if mode in (JoinMode.LEFT, JoinMode.OUTER):
             live = probe_t.live_mask()
             unmatched = (total_counts == 0) & live
-            n_unmatched = int(jnp.sum(unmatched))
-            u_cap = bucket_capacity(max(n_unmatched, 1))
+            n_unmatched, u_cap = oracle_capacity(
+                jnp.sum(unmatched), bound=probe_cap, label="join.unmatched")
             u_idx = jnp.nonzero(unmatched, size=u_cap, fill_value=0)[0] \
                 .astype(jnp.int32)
             probe_parts.append(u_idx)
@@ -255,15 +258,15 @@ class Join(AbstractOperator):
         n_build_unmatched = 0
         if mode is JoinMode.OUTER:
             matched = jnp.zeros(build_t.capacity, dtype=bool)
-            offset = 0
             for p_idx, b_idx, seg_total, out_cap in segments:
                 sel = jnp.arange(out_cap) < seg_total
                 scatter_idx = jnp.where(sel, b_idx, build_t.capacity)
                 matched = matched.at[scatter_idx].set(True, mode="drop")
             b_live = build_t.live_mask()
             b_unmatched = (~matched) & b_live
-            n_build_unmatched = int(jnp.sum(b_unmatched))
-            bu_cap = bucket_capacity(max(n_build_unmatched, 1))
+            n_build_unmatched, bu_cap = oracle_capacity(
+                jnp.sum(b_unmatched), bound=int(build_t.capacity),
+                label="join.build_unmatched")
             bu_idx = jnp.nonzero(b_unmatched, size=bu_cap, fill_value=0)[0] \
                 .astype(jnp.int32)
             probe_parts.append(jnp.zeros(bu_cap, dtype=jnp.int32))
@@ -297,8 +300,9 @@ class Join(AbstractOperator):
                 jnp.arange(bu_cap) < n_build_unmatched)
             pos += bu_cap
 
-        n_out = counts_rows + n_unmatched + n_build_unmatched
-        out_cap = bucket_capacity(max(n_out, 1))
+        n_out, out_cap = oracle_capacity(
+            jnp.asarray(counts_rows + n_unmatched + n_build_unmatched),
+            bound=int(flat_flags.shape[0]), label="join.out")
         sel = jnp.nonzero(keep, size=out_cap, fill_value=0)[0]
         probe_idx = jnp.take(flat_probe, sel, axis=0)
         build_idx = jnp.take(flat_build, sel, axis=0)
@@ -374,10 +378,12 @@ class JoinNestedLoop(AbstractOperator):
         lval = lt.live_mask() if lv is None else (lt.live_mask() & lv)
         rval = rt.live_mask() if rv is None else (rt.live_mask() & rv)
         from hyrise_tpu.expression.evaluator import _apply_cmp
+        from hyrise_tpu.plan.compiler import oracle_capacity
         pair = _apply_cmp(self.cond, lk[:, None], rk[None, :])
         pair = pair & lval[:, None] & rval[None, :]
-        total = int(jnp.sum(pair))
-        out_cap = bucket_capacity(max(total, 1))
+        total, out_cap = oracle_capacity(
+            jnp.sum(pair), estimate=4 * max(lt.capacity, rt.capacity),
+            bound=lt.capacity * rt.capacity, label="join_nl.out")
         flat = pair.reshape(-1)
         sel = jnp.nonzero(flat, size=out_cap, fill_value=0)[0]
         probe_idx = (sel // rt.capacity).astype(jnp.int32)
@@ -397,13 +403,16 @@ class Product(AbstractOperator):
         super().__init__(left, right)
 
     def _on_execute(self, context) -> Table:
+        from hyrise_tpu.plan.compiler import oracle_capacity
         lt, rt = self.input_table(0), self.input_table(1)
         n, m = lt.num_rows, rt.num_rows
-        total = n * m
-        out_cap = bucket_capacity(max(total, 1))
+        total, out_cap = oracle_capacity(
+            jnp.asarray(n) * jnp.asarray(m),
+            bound=lt.capacity * rt.capacity, label="product.out")
+        m_safe = jnp.maximum(jnp.asarray(m, dtype=jnp.int32), 1)
         idx = jnp.arange(out_cap, dtype=jnp.int32)
-        probe_idx = jnp.clip(idx // max(m, 1), 0, lt.capacity - 1)
-        build_idx = jnp.clip(idx % max(m, 1), 0, rt.capacity - 1)
+        probe_idx = jnp.clip(idx // m_safe, 0, lt.capacity - 1)
+        build_idx = jnp.clip(idx % m_safe, 0, rt.capacity - 1)
         cols = _gather_columns(lt, probe_idx, None) + \
             _gather_columns(rt, build_idx, None)
         return Table(cols, total, name=lt.name)

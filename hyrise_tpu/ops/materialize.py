@@ -27,10 +27,15 @@ def _nonzero_indices(mask: jax.Array, capacity: int) -> jax.Array:
     return jnp.nonzero(mask, size=capacity, fill_value=0)[0].astype(jnp.int32)
 
 
-def mask_to_indices(mask: jax.Array) -> Tuple[jax.Array, int]:
-    """Compact a boolean mask into (indices, count). One host sync."""
-    count = int(jnp.sum(mask))
-    cap = bucket_capacity(count)
+def mask_to_indices(mask: jax.Array) -> Tuple[jax.Array, object]:
+    """Compact a boolean mask into (indices, count).
+
+    Eager: one host sync (the reference's per-operator barrier). Compiled:
+    the count stays traced and the capacity is the oracle's speculative
+    static size (bounded by the mask length — a filter cannot grow)."""
+    from hyrise_tpu.plan.compiler import oracle_capacity
+    count, cap = oracle_capacity(jnp.sum(mask), bound=int(mask.shape[0]),
+                                 label="filter")
     return _nonzero_indices(mask, cap), count
 
 

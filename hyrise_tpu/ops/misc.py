@@ -29,7 +29,9 @@ class Limit(AbstractOperator):
 
     def _on_execute(self, context) -> Table:
         t = self.input_table(0)
-        return Table(t.columns, min(t.num_rows, self.n), name=t.name)
+        n = (min(t.num_rows, self.n) if isinstance(t.num_rows, int)
+             else jnp.minimum(t.num_rows, self.n))
+        return Table(t.columns, n, name=t.name)
 
 
 class Alias(AbstractOperator):
@@ -80,24 +82,31 @@ class UnionAll(AbstractOperator):
     name = "UnionAll"
 
     def _on_execute(self, context) -> Table:
+        from hyrise_tpu.plan.compiler import oracle_capacity
         lt, rt = self.input_table(0), self.input_table(1)
         assert len(lt.columns) == len(rt.columns)
-        n = lt.num_rows + rt.num_rows
-        cap = bucket_capacity(max(n, 1))
+        n, cap = oracle_capacity(
+            jnp.asarray(lt.num_rows) + jnp.asarray(rt.num_rows),
+            bound=lt.capacity + rt.capacity, label="union_all")
+        # traceable concatenation: out[i] = left[i] if i < n_left else
+        # right[i - n_left] (dynamic slice assignment would need host counts)
+        idx = jnp.arange(cap)
+        nl = jnp.asarray(lt.num_rows)
+        from_left = idx < nl
+        li = jnp.clip(idx, 0, lt.capacity - 1)
+        ri = jnp.clip(idx - nl, 0, rt.capacity - 1)
         cols: List[Column] = []
         for ca, cb in zip(lt.columns, rt.columns):
             ca, cb, merged = _align_columns(ca, cb)
-            data = jnp.zeros(cap, dtype=ca.data.dtype)
-            data = data.at[:lt.num_rows].set(ca.data[:lt.num_rows])
-            data = data.at[lt.num_rows:n].set(cb.data[:rt.num_rows])
+            data = jnp.where(from_left, jnp.take(ca.data, li, axis=0),
+                             jnp.take(cb.data, ri, axis=0))
             if ca.validity is not None or cb.validity is not None:
                 va = ca.validity if ca.validity is not None \
                     else jnp.ones(lt.capacity, dtype=bool)
                 vb = cb.validity if cb.validity is not None \
                     else jnp.ones(rt.capacity, dtype=bool)
-                v = jnp.zeros(cap, dtype=bool)
-                v = v.at[:lt.num_rows].set(va[:lt.num_rows])
-                v = v.at[lt.num_rows:n].set(vb[:rt.num_rows])
+                v = jnp.where(from_left, jnp.take(va, li, axis=0),
+                              jnp.take(vb, ri, axis=0))
             else:
                 v = None
             cols.append(Column(ca.name, ca.dtype, data, v, merged if merged

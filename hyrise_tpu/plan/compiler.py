@@ -109,7 +109,12 @@ def oracle_capacity(count, *, bound: Optional[int] = None,
     if ctx is None:
         c = int(count)
         return c, bucket_capacity(max(c, 1))
-    return count, ctx.capacity(count, bound, estimate, label)
+    cap = ctx.capacity(count, bound, estimate, label)
+    # Clamp the count the plan continues with: if this site overflowed, the
+    # run is wrong anyway (the host retries), but an unclamped num_rows >
+    # capacity would feed out-of-bounds gathers downstream, poisoning the
+    # OTHER sites' recorded counts with jnp.take fill values.
+    return jnp.minimum(jnp.asarray(count, dtype=jnp.int64), cap), cap
 
 
 def tracing() -> bool:
@@ -196,6 +201,7 @@ class CompiledQuery:
         self._out_meta: Optional[List[_ColMeta]] = None
         self._labels: List[str] = []
         self.last_retries = 0
+        self._salt = 0
 
     # -- argument marshalling -------------------------------------------------
 
@@ -225,10 +231,10 @@ class CompiledQuery:
 
     # -- tracing --------------------------------------------------------------
 
-    def _traced_fn(self, flat_args):
+    def _traced_fn(self, flat_args, salt, caps: List[int]):
         from hyrise_tpu.ops.base import execute_plan
 
-        ctx = CompileContext(self.caps)
+        ctx = CompileContext(caps)
         self._rebuild_tables(flat_args, ctx)
         for op in self.ops:
             op.clear_output()
@@ -245,15 +251,25 @@ class CompiledQuery:
         counts = (jnp.stack(ctx.counts) if ctx.counts
                   else jnp.zeros(0, dtype=jnp.int64))
         n_rows = jnp.asarray(out.num_rows, dtype=jnp.int64)
-        return tuple(datas), tuple(valids), n_rows, counts
+        # echo the salt so the argument survives DCE: distinct args per call
+        # defeat transport-level result caching of identical dispatches
+        return tuple(datas), tuple(valids), n_rows, counts, salt
 
     def _get_jitted(self):
         key = tuple(self.caps)
-        fn = self._jit_cache.get(key)
-        if fn is None:
-            fn = jax.jit(self._traced_fn)
-            self._jit_cache[key] = fn
-        return fn, key
+        entry = self._jit_cache.get(key)
+        if entry is None:
+            # Each capacity assignment needs its OWN function identity:
+            # jax.jit conflates equal-comparing bound methods, so a retrace
+            # after a capacity change would silently reuse the stale program.
+            caps_list = list(self.caps)
+
+            def run_plan(flat_args, salt, _caps=caps_list):
+                return self._traced_fn(flat_args, salt, _caps)
+
+            entry = (jax.jit(run_plan), caps_list)
+            self._jit_cache[key] = entry
+        return entry
 
     # -- execution ------------------------------------------------------------
 
@@ -266,11 +282,13 @@ class CompiledQuery:
         flat = self._flat_args()
         self.last_retries = 0
         for _ in range(self.MAX_RETRIES):
-            fn, key = self._get_jitted()
-            datas, valids, n_rows, counts = fn(flat)
-            # pre-trace the cache entry may have been registered under a
-            # shorter key; register under the final capacity vector too
-            self._jit_cache[tuple(self.caps)] = fn
+            fn, caps_list = self._get_jitted()
+            self._salt += 1
+            datas, valids, n_rows, counts, _ = fn(flat, jnp.int32(self._salt))
+            # the first trace appends capacities for newly-seen sites;
+            # adopt them and register the entry under the full vector too
+            self.caps = list(caps_list)
+            self._jit_cache[tuple(self.caps)] = (fn, caps_list)
             counts_h = np.asarray(counts)
             overflow = [i for i, c in enumerate(counts_h)
                         if i < len(self.caps) and c > self.caps[i]]

@@ -101,7 +101,8 @@ class SQLPipelineStatement:
     def __init__(self, stmt, sql_text: str, catalog: Catalog,
                  tm: TransactionManager, use_mvcc: bool,
                  optimizer: Optional[Optimizer], use_cache: bool,
-                 context=None, params: Optional[List[object]] = None):
+                 context=None, params: Optional[List[object]] = None,
+                 use_compiled: bool = False):
         self.stmt = stmt
         self.sql_text = sql_text
         self.catalog = catalog
@@ -111,6 +112,7 @@ class SQLPipelineStatement:
         self.use_cache = use_cache
         self.context = context
         self.params = params
+        self.use_compiled = use_compiled
         self.metrics = StatementMetrics()
 
     # -- stages --------------------------------------------------------------
@@ -267,7 +269,7 @@ class SQLPipelineStatement:
         self.last_plan = plan  # retained for profiling / visualization
         t0 = time.perf_counter()
         try:
-            result = execute_plan(plan, context)
+            result = self._execute_plan(plan, context, needs_tx)
         except Exception:
             if context is not None and auto_commit:
                 try:
@@ -279,6 +281,25 @@ class SQLPipelineStatement:
         if auto_commit:
             context.commit()
         return result
+
+    def _execute_plan(self, plan, context, needs_tx: bool) -> Table:
+        """Whole-plan compiled execution for read-only plans (one jitted
+        program per query, plan/compiler.py — the reference's JitOperator
+        path); eager per-operator dispatch otherwise or on fallback. The
+        CompiledQuery (with its learned capacities) rides on the cached
+        plan object, so repeated executions re-trace nothing."""
+        if self.use_compiled and not needs_tx:
+            from hyrise_tpu.plan.compiler import (CompiledQuery,
+                                                  PlanNotCompilable)
+            try:
+                cq = getattr(plan, "_compiled_query", None)
+                if cq is None:
+                    cq = CompiledQuery(plan, self.catalog)
+                    plan._compiled_query = cq
+                return cq.run()
+            except PlanNotCompilable:
+                _clear_plan_outputs(plan)
+        return execute_plan(plan, context)
 
 
 def _clear_plan_outputs(plan) -> None:
@@ -300,20 +321,23 @@ class SQLPipeline:
 
     def __init__(self, sql: str, catalog: Catalog, tm: TransactionManager,
                  use_mvcc: bool, optimizer: Optional[Optimizer],
-                 use_cache: bool, context=None):
+                 use_cache: bool, context=None, use_compiled: bool = False):
         t0 = time.perf_counter()
         self.statements = P.parse_sql(sql)
         self.parse_s = time.perf_counter() - t0
         self._sql = sql
-        self._args = (catalog, tm, use_mvcc, optimizer, use_cache, context)
+        self._args = (catalog, tm, use_mvcc, optimizer, use_cache, context,
+                      use_compiled)
         self.pipeline_statements: List[SQLPipelineStatement] = []
 
     def get_result_table(self) -> Table:
-        catalog, tm, use_mvcc, optimizer, use_cache, context = self._args
+        (catalog, tm, use_mvcc, optimizer, use_cache, context,
+         use_compiled) = self._args
         result: Optional[Table] = None
         for stmt in self.statements:
             ps = SQLPipelineStatement(stmt, self._sql, catalog, tm, use_mvcc,
-                                      optimizer, use_cache, context)
+                                      optimizer, use_cache, context,
+                                      use_compiled=use_compiled)
             ps.metrics.parse_s = self.parse_s / max(len(self.statements), 1)
             self.pipeline_statements.append(ps)
             result = ps.execute()
@@ -332,6 +356,8 @@ class SQLPipelineBuilder:
         self._optimizer: Optional[Optimizer] = None
         self._use_cache = True
         self._context = None
+        import os
+        self._use_compiled = os.environ.get("HYRISE_COMPILED", "") == "1"
 
     def with_catalog(self, catalog: Catalog) -> "SQLPipelineBuilder":
         self._catalog = catalog
@@ -361,13 +387,21 @@ class SQLPipelineBuilder:
         self._use_cache = False
         return self
 
+    def with_compiled_execution(self, enabled: bool = True
+                                ) -> "SQLPipelineBuilder":
+        """Execute read-only plans as one jitted program (whole-plan
+        compilation). Default from env HYRISE_COMPILED=1."""
+        self._use_compiled = enabled
+        return self
+
     def create_pipeline(self) -> SQLPipeline:
         return SQLPipeline(
             self.sql,
             self._catalog if self._catalog is not None else default_catalog(),
             self._tm if self._tm is not None else
             default_transaction_manager(),
-            self._use_mvcc, self._optimizer, self._use_cache, self._context)
+            self._use_mvcc, self._optimizer, self._use_cache, self._context,
+            use_compiled=self._use_compiled)
 
 
 def run_sql(sql: str, catalog: Optional[Catalog] = None, context=None,

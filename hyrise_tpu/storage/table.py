@@ -39,12 +39,15 @@ class Table:
     `num_rows` is host-known; all device arrays share one padded capacity.
     """
 
-    def __init__(self, columns: Sequence[Column], num_rows: int, name: str = ""):
+    def __init__(self, columns: Sequence[Column], num_rows, name: str = ""):
         assert len(columns) > 0
         caps = {c.capacity for c in columns}
         assert len(caps) == 1, f"column capacities differ: {caps}"
         self.columns: List[Column] = list(columns)
-        self.num_rows = int(num_rows)
+        # Under whole-plan compilation (plan/compiler.py) num_rows is a
+        # traced device scalar; eagerly it is a host int.
+        self.num_rows = (num_rows if isinstance(num_rows, jax.core.Tracer)
+                         else int(num_rows))
         self.name = name
         self.mvcc = None  # set to MvccData for transactional tables
         # Duplicate names can occur after joins (both sides kept, like the

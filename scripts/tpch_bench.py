@@ -26,9 +26,11 @@ def main():
     ap.add_argument("--out", default="tpch_report.json")
     ap.add_argument("--queries", default=None,
                     help="comma-separated query ids (default: all 22)")
-    ap.add_argument("--via", choices=("plans", "sql"), default="plans",
-                    help="hand-built physical plans, or the full SQL "
-                         "pipeline (optimizer: column pruning + fusion)")
+    ap.add_argument("--via", choices=("plans", "sql", "compiled",
+                                      "sql-compiled"), default="plans",
+                    help="hand-built physical plans (eager), the full SQL "
+                         "pipeline, or whole-plan jit compilation "
+                         "(plan/compiler.py: ONE device program per query)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the host CPU backend (the axon TPU tunnel "
                          "makes eager per-op dispatch compile-bound)")
@@ -62,6 +64,29 @@ def main():
             def run():
                 return (SQLPipelineBuilder(TPCH_SQL[qid]).with_catalog(cat)
                         .create_pipeline().get_result_table())
+            return run
+    elif args.via == "sql-compiled":
+        from hyrise_tpu.sql.pipeline import SQLPipelineBuilder
+        from hyrise_tpu.tpch.queries import TPCH_SQL
+
+        def make_query(qid):
+            def run():
+                return (SQLPipelineBuilder(TPCH_SQL[qid]).with_catalog(cat)
+                        .with_compiled_execution()
+                        .create_pipeline().get_result_table())
+            return run
+    elif args.via == "compiled":
+        from hyrise_tpu.plan.compiler import CompiledQuery
+
+        cqs = {}
+
+        def make_query(qid):
+            def run():
+                cq = cqs.get(qid)
+                if cq is None:
+                    cq = CompiledQuery(TPCH_PLANS[qid](cat), cat)
+                    cqs[qid] = cq
+                return cq.run()
             return run
     else:
         def make_query(qid):
