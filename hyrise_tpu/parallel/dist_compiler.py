@@ -1,0 +1,637 @@
+"""Distributed plan compiler: run ANY physical operator DAG over sharded
+tables as ONE `shard_map`-wrapped jitted program.
+
+This generalizes the hand-written pipelines of parallel/dist_query.py into a
+compiler, the distributed analogue of plan/compiler.py's whole-plan jit. The
+reference has no distributed execution at all (SURVEY.md §2.3); its nearest
+concept is the NodeQueueScheduler placing every operator's chunk-jobs across
+NUMA nodes (reference: src/lib/scheduler/node_queue_scheduler.cpp:30-122).
+Here the NUMA-node axis becomes a `jax.sharding.Mesh` axis and cross-node
+row movement becomes explicit collectives (parallel/exchange.py).
+
+Design — placement-typed execution. Every intermediate Table carries a
+Placement:
+
+- ``REPLICATED``: every shard holds the full table (identical SPMD values).
+  Running any single-chip operator on replicated inputs is trivially
+  correct, so this is the universal fallback.
+- ``SHARDED(key)``: each row lives on exactly one shard; if ``key`` is a
+  column name, rows are placed by ``partition_hash(row[key]) % n_shards``
+  (the ingest placement of parallel/partition.py, kept in sync with
+  exchange.partition_hash).
+
+Operators execute on LOCAL (per-shard) tables using the *same single-chip
+operator code* (`ops/`), with exchanges inserted by placement rules:
+
+- TableScan / Projection / Alias preserve placement (rows never move).
+- Equi joins pick, by placement + size, one of: co-partitioned local join,
+  broadcast (all_gather) of a small build side — the distributed analogue
+  of the reference's build-side swap rule (join_hash.cpp:55-76) — or an
+  all_to_all repartition of both sides by join key (the radix partition of
+  join_hash.cpp:288-355 lifted onto the mesh axis).
+- Aggregates run shard-local when grouped by the partition key; otherwise
+  decomposable aggregates (SUM/COUNT/MIN/MAX/AVG) run as two-phase
+  partial → gather → combine (aggregate.cpp's per-chunk maps → merge,
+  distributed); anything else falls back to gather + single-node code.
+- Everything else (Sort, Limit, set ops, nested-loop/cross joins) gathers
+  its inputs to replicated and runs the stock operator.
+
+Variable-size outputs inside the program reuse plan/compiler.py's capacity
+oracle; per-shard counts are returned sharded and the host checks the MAX
+across shards, so a skew-overflowing shard triggers the same grow-and-retrace
+loop as single-chip.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from hyrise_tpu.expression.ast import AggregateExpr, ColumnRef
+from hyrise_tpu.ops.aggregate import Aggregate
+from hyrise_tpu.ops.base import AbstractOperator
+from hyrise_tpu.ops.get_table import GetTable, TableWrapper
+from hyrise_tpu.ops.join import (Join, JoinNestedLoop, Product,
+                                 _join_key_arrays)
+from hyrise_tpu.parallel.exchange import partition_hash, repartition_by_key
+from hyrise_tpu.parallel.mesh import SHARD_AXIS
+from hyrise_tpu.parallel.partition import ShardedTable, hash_partition
+from hyrise_tpu.plan.compiler import (CompiledQuery, CompileContext,
+                                      PlanNotCompilable, _Activation, _ColMeta,
+                                      oracle_capacity)
+from hyrise_tpu.storage.column import Column
+from hyrise_tpu.storage.table import Table
+from hyrise_tpu.types import (AggregateFunction, DataType, JoinMode,
+                              PredicateCondition)
+
+
+@dataclasses.dataclass(frozen=True)
+class Placement:
+    replicated: bool
+    key: Optional[str] = None  # column the table is hash-partitioned by
+
+
+REPLICATED = Placement(True)
+
+
+# ---------------------------------------------------------------------------
+# sharded catalog
+
+
+class ShardedCatalog:
+    """name -> ShardedTable (hash-partitioned) or Table (replicated).
+
+    Small dimension tables are replicated to every shard (the broadcast-side
+    of the reference's build-side-swap heuristic, decided at ingest)."""
+
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self.entries: Dict[str, object] = {}
+
+    def add_sharded(self, name: str, table: Table, key: str) -> ShardedTable:
+        st = hash_partition(table, key, self.mesh)
+        self.entries[name] = st
+        return st
+
+    def add_replicated(self, name: str, table: Table) -> Table:
+        self.entries[name] = table
+        return table
+
+    def get(self, name: str):
+        return self.entries[name]
+
+
+# TPC-H partitioning contract: big fact tables by their primary join key,
+# small dimensions replicated.
+TPCH_PARTITION_KEYS = {
+    "lineitem": "l_orderkey",
+    "orders": "o_orderkey",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "partsupp": "ps_partkey",
+}
+
+
+def shard_tpch(catalog, mesh: Mesh) -> ShardedCatalog:
+    sc = ShardedCatalog(mesh)
+    for name in catalog.table_names():
+        t = catalog.get_table(name)
+        key = TPCH_PARTITION_KEYS.get(name)
+        if key is not None:
+            sc.add_sharded(name, t, key)
+        else:
+            sc.add_replicated(name, t)
+    return sc
+
+
+# ---------------------------------------------------------------------------
+# table-level exchanges (run INSIDE shard_map, at trace time)
+
+
+def _take_cols(table: Table, sel: jax.Array, n_rows,
+               datas: List[jax.Array], valids: List[Optional[jax.Array]],
+               extra_valid: Optional[jax.Array] = None) -> Table:
+    cols = []
+    for c, d, v in zip(table.columns, datas, valids):
+        data = jnp.take(d, sel, axis=0)
+        if v is not None:
+            vv = jnp.take(v, sel, axis=0)
+            if extra_valid is not None:
+                vv = vv & extra_valid
+            cols.append(Column(c.name, c.dtype, data, vv, c.dictionary))
+        else:
+            cols.append(Column(c.name, c.dtype, data, extra_valid,
+                               c.dictionary))
+    return Table(cols, n_rows, name=table.name)
+
+
+def gather_replicated(t: Table, n_shards: int, axis: str = SHARD_AXIS) -> Table:
+    """all_gather every column; compact live rows to a prefix (single-chip
+    operators assume rows [0, num_rows) are live)."""
+    live = t.live_mask()
+    live_g = jax.lax.all_gather(live, axis, tiled=True)
+    total = jax.lax.psum(jnp.asarray(t.num_rows, dtype=jnp.int64), axis)
+    n, cap = oracle_capacity(total, bound=int(t.capacity) * n_shards,
+                             label="exchange.gather")
+    perm = jnp.lexsort([(~live_g).astype(jnp.int32)])  # stable: live first
+    sel = perm[:cap]
+    datas = [jax.lax.all_gather(c.data, axis, tiled=True) for c in t.columns]
+    valids = [jax.lax.all_gather(c.validity, axis, tiled=True)
+              if c.has_validity else None for c in t.columns]
+    return _take_cols(t, sel, n, datas, valids)
+
+
+def repartition_sharded(t: Table, key_i64: jax.Array, n_shards: int,
+                        axis: str = SHARD_AXIS, label: str = "") -> Table:
+    """all_to_all shuffle of the whole table by hash(key); output rows of
+    equal keys are co-located. key_i64 is the promoted join key aligned with
+    the table's row axis (capacity,)."""
+    live = t.live_mask()
+    arrays = []
+    v_idx = []
+    for c in t.columns:
+        arrays.append(c.data)
+        if c.has_validity:
+            v_idx.append(len(arrays))
+            arrays.append(c.validity)
+        else:
+            v_idx.append(-1)
+    recv, recv_key, recv_valid = repartition_by_key(
+        tuple(arrays), key_i64, live, n_shards, axis)
+    total = jnp.sum(recv_valid.astype(jnp.int64))
+    n, cap = oracle_capacity(total, bound=int(t.capacity) * n_shards,
+                             estimate=int(t.capacity),
+                             label=label or "exchange.repartition")
+    perm = jnp.lexsort([(~recv_valid).astype(jnp.int32)])
+    sel = perm[:cap]
+    cols = []
+    ai = 0
+    for c, vi in zip(t.columns, v_idx):
+        data = jnp.take(recv[ai], sel, axis=0)
+        ai += 1
+        if vi >= 0:
+            v = jnp.take(recv[ai], sel, axis=0)
+            ai += 1
+        else:
+            v = None
+        cols.append(Column(c.name, c.dtype, data, v, c.dictionary))
+    return Table(cols, n, name=t.name)
+
+
+def localize_by_key(t: Table, key_i64: jax.Array, n_shards: int,
+                    axis: str = SHARD_AXIS, label: str = "") -> Table:
+    """Replicated -> sharded-by-key: each shard keeps exactly the rows whose
+    key hashes to it (no communication — the data is already everywhere)."""
+    me = jax.lax.axis_index(axis)
+    keep = t.live_mask() & (partition_hash(key_i64, n_shards) == me)
+    count = jnp.sum(keep.astype(jnp.int64))
+    n, cap = oracle_capacity(
+        count, bound=int(t.capacity),
+        estimate=max(int(t.capacity) // n_shards, 1),
+        label=label or "exchange.localize")
+    sel = jnp.nonzero(keep, size=cap, fill_value=0)[0].astype(jnp.int32)
+    datas = [c.data for c in t.columns]
+    valids = [c.validity if c.has_validity else None for c in t.columns]
+    return _take_cols(t, sel, n, datas, valids)
+
+
+def _promoted_keys(lt: Table, rt: Table, lcol: str, rcol: str):
+    lk, _, rk, _ = _join_key_arrays(lt, rt, lcol, rcol)
+    return lk, rk
+
+
+# ---------------------------------------------------------------------------
+# the distributed compiled query
+
+
+_DECOMPOSABLE = {AggregateFunction.SUM, AggregateFunction.COUNT,
+                 AggregateFunction.MIN, AggregateFunction.MAX,
+                 AggregateFunction.AVG}
+
+# placement survives these ops untouched (row set filtered / columns
+# rewritten, but no row ever changes shard)
+_ROW_PRESERVING = ("TableScan", "Projection", "Validate")
+
+# modes that only emit probe-side rows (pairs + unmatched-probe); the build
+# side may safely be replicated. OUTER also emits unmatched BUILD rows and
+# needs co-partitioning.
+_PROBE_PRESERVING = (JoinMode.INNER, JoinMode.LEFT, JoinMode.RIGHT,
+                     JoinMode.SEMI, JoinMode.ANTI)
+
+BROADCAST_MAX_ROWS = 1 << 16
+
+
+class DistributedCompiledQuery(CompiledQuery):
+    """Compile + execute an operator DAG over a ShardedCatalog as one
+    shard_map-wrapped jitted program (same retry/tighten loop as the
+    single-chip CompiledQuery; overflow checks take the max across shards)."""
+
+    def __init__(self, root: AbstractOperator, shard_cat: ShardedCatalog):
+        self.mesh = shard_cat.mesh
+        self.n_shards = int(self.mesh.devices.size)
+        self.shard_cat = shard_cat
+        self.root = root
+        from hyrise_tpu.plan.compiler import _walk, _UNCOMPILABLE
+        self.ops = _walk(root)
+        for op in self.ops:
+            if op.name in _UNCOMPILABLE:
+                raise PlanNotCompilable(op.name)
+        # resolve sources: op id -> (source object, placement)
+        self._sources = []          # unique source objects (Sharded or Table)
+        self._src_placement: Dict[int, Placement] = {}
+        self._op_source: Dict[int, object] = {}
+        seen = set()
+        for op in self.ops:
+            src = None
+            if isinstance(op, GetTable):
+                src = shard_cat.get(op.table_name)
+            elif isinstance(op, TableWrapper):
+                src = op.table
+            if src is None:
+                continue
+            self._op_source[id(op)] = src
+            if isinstance(src, ShardedTable):
+                pkey = src.partition_key
+                # string partition keys hash in code space (dictionary-
+                # dependent); never claim co-partitioning for them
+                if pkey is not None and \
+                        src.column(pkey).dtype is DataType.STRING:
+                    pkey = None
+                self._src_placement[id(src)] = Placement(False, pkey)
+            else:
+                if getattr(src, "mvcc", None) is not None:
+                    raise PlanNotCompilable("MVCC table " + src.name)
+                self._src_placement[id(src)] = REPLICATED
+            if id(src) not in seen:
+                seen.add(id(src))
+                self._sources.append(src)
+        if not self._sources:
+            raise PlanNotCompilable("no base tables")
+        self.caps: List[int] = []
+        self._jit_cache: Dict[Tuple[int, ...], object] = {}
+        self._out_meta: Optional[List[_ColMeta]] = None
+        self._labels: List[str] = []
+        self.last_retries = 0
+        self._salt = 0
+        # join strategies pinned at first trace: capacity tightening must
+        # NEVER change the exchange structure (the oracle's site sequence
+        # would shift and the learned capacities would be misaligned)
+        self._decisions: Dict[int, str] = {}
+
+    # -- argument marshalling -------------------------------------------------
+
+    def _flat_args(self) -> List[jax.Array]:
+        args = []
+        for src in self._sources:
+            if isinstance(src, ShardedTable):
+                for c in src.columns:
+                    args.append(c.data)
+                    if c.validity is not None:
+                        args.append(c.validity)
+                args.append(src.counts)
+            else:
+                for c in src.columns:
+                    args.append(c.data)
+                    if c.has_validity:
+                        args.append(c.validity)
+        return args
+
+    def _in_specs(self):
+        specs = []
+        for src in self._sources:
+            if isinstance(src, ShardedTable):
+                for c in src.columns:
+                    specs.append(P(SHARD_AXIS))
+                    if c.validity is not None:
+                        specs.append(P(SHARD_AXIS))
+                specs.append(P(SHARD_AXIS))
+            else:
+                for c in src.columns:
+                    specs.append(P())
+                    if c.has_validity:
+                        specs.append(P())
+        return specs
+
+    def _rebuild_tables(self, flat, ctx: CompileContext):
+        it = iter(flat)
+        for src in self._sources:
+            if isinstance(src, ShardedTable):
+                cols = []
+                for c in src.columns:
+                    data = next(it).reshape(-1)
+                    validity = (next(it).reshape(-1)
+                                if c.validity is not None else None)
+                    cols.append(Column(c.name, c.dtype, data, validity,
+                                       c.dictionary))
+                counts = next(it).reshape(-1)
+                t = Table(cols, counts[0], name=src.name)
+            else:
+                cols = []
+                for c in src.columns:
+                    data = next(it)
+                    validity = next(it) if c.has_validity else None
+                    cols.append(Column(c.name, c.dtype, data, validity,
+                                       c.dictionary))
+                t = Table(cols, src.num_rows, name=src.name)
+            ctx.table_subst[id(src)] = t
+
+    # -- tracing --------------------------------------------------------------
+
+    def _traced_fn(self, flat_args, salt, caps: List[int]):
+        ctx = CompileContext(caps)
+        self._rebuild_tables(flat_args, ctx)
+        for op in self.ops:
+            op.clear_output()
+        with _Activation(ctx):
+            out, placement = self._exec(ctx)
+            if not placement.replicated:
+                out = gather_replicated(out, self.n_shards)
+        datas, valids, meta = [], [], []
+        for c in out.columns:
+            datas.append(c.data)
+            valids.append(c.validity)
+            meta.append(_ColMeta(c.name, c.dtype, c.dictionary,
+                                 c.validity is not None))
+        self._out_meta = meta
+        self._labels = ctx.labels
+        counts = (jnp.stack(ctx.counts) if ctx.counts
+                  else jnp.zeros(0, dtype=jnp.int64))
+        n_rows = jnp.asarray(out.num_rows, dtype=jnp.int64)
+        return tuple(datas), tuple(valids), n_rows, counts[None, :], salt
+
+    def _get_jitted(self):
+        key = tuple(self.caps)
+        entry = self._jit_cache.get(key)
+        if entry is None:
+            caps_list = list(self.caps)
+            in_specs = (self._in_specs(), P())
+            out_specs = (P(), P(), P(), P(SHARD_AXIS), P())
+
+            def run_plan(flat_args, salt, _caps=caps_list):
+                return self._traced_fn(flat_args, salt, _caps)
+
+            smapped = shard_map(run_plan, mesh=self.mesh, in_specs=in_specs,
+                                out_specs=out_specs, check_vma=False)
+            entry = (jax.jit(smapped), caps_list)
+            self._jit_cache[key] = entry
+        return entry
+
+    def _counts_host(self, counts) -> np.ndarray:
+        # [n_shards, sites] -> per-site max: ANY shard overflowing retries
+        arr = np.asarray(counts)
+        return arr.max(axis=0) if arr.size else arr.reshape(0)
+
+    # -- distributed execution (trace time) -----------------------------------
+
+    def _exec(self, ctx) -> Tuple[Table, Placement]:
+        out: Dict[int, Tuple[Table, Placement]] = {}
+        for op in self.ops:
+            out[id(op)] = self._exec_op(op, out, ctx)
+        return out[id(self.root)]
+
+    def _run_local(self, op: AbstractOperator,
+                   tables: List[Table]) -> Table:
+        saved = []
+        for inp, t in zip(op.inputs, tables):
+            saved.append(inp._output)
+            inp._output = t
+        try:
+            return op._on_execute(None)
+        finally:
+            for inp, s in zip(op.inputs, saved):
+                inp._output = s
+
+    def _gathered(self, t: Table, p: Placement) -> Table:
+        return t if p.replicated else gather_replicated(t, self.n_shards)
+
+    def _exec_op(self, op, out, ctx) -> Tuple[Table, Placement]:
+        src = self._op_source.get(id(op))
+        if src is not None:
+            return ctx.table_subst[id(src)], self._src_placement[id(src)]
+
+        ins = [out[id(i)] for i in op.inputs]
+
+        if op.name in _ROW_PRESERVING:
+            (t, p), = ins
+            res = self._run_local(op, [t])
+            return res, self._preserved(p, res)
+
+        if op.name == "Alias":
+            (t, p), = ins
+            res = self._run_local(op, [t])
+            key = p.key
+            if not p.replicated and key is not None:
+                # map the partition key through the rename
+                if op.sources is not None:
+                    key = (op.names[op.sources.index(key)]
+                           if key in op.sources else None)
+                else:
+                    key = op.names[t.column_id(key)]
+            return res, (p if p.replicated else Placement(False, key))
+
+        if isinstance(op, Join) and not isinstance(op, JoinNestedLoop):
+            return self._exec_join(op, ins)
+
+        if isinstance(op, Aggregate):
+            return self._exec_aggregate(op, ins[0])
+
+        # universal fallback: replicate all inputs, run the stock operator
+        tables = [self._gathered(t, p) for t, p in ins]
+        res = self._run_local(op, tables)
+        return res, REPLICATED
+
+    @staticmethod
+    def _preserved(p: Placement, res: Table) -> Placement:
+        if p.replicated or p.key is None:
+            return p
+        return p if res.has_column(p.key) else Placement(False, None)
+
+    # -- joins ----------------------------------------------------------------
+
+    def _join_decision(self, op: Join, ins) -> str:
+        """Strategy for this join, PINNED at the first trace (capacity
+        tightening must not change the exchange structure)."""
+        d = self._decisions.get(id(op))
+        if d is not None:
+            return d
+        (lt, lp), (rt, rp) = ins
+        mode, cond = op.mode, op.cond
+        if lp.replicated and rp.replicated:
+            d = "replicated"
+        elif cond is not PredicateCondition.EQUALS or mode not in \
+                (*_PROBE_PRESERVING, JoinMode.OUTER):
+            d = "gather"
+        else:
+            pi = 1 if mode is JoinMode.RIGHT else 0
+            pp = ins[pi][1]
+            bt, bp = ins[1 - pi]
+            pcol = (op.left_col, op.right_col)[pi]
+            bcol = (op.left_col, op.right_col)[1 - pi]
+            if (not pp.replicated and pp.key == pcol
+                    and not bp.replicated and bp.key == bcol):
+                d = "copart"
+            elif mode is not JoinMode.OUTER and pp.replicated and \
+                    (bp.replicated or int(bt.capacity) * self.n_shards
+                     <= BROADCAST_MAX_ROWS):
+                d = "replicated"
+            elif mode is not JoinMode.OUTER and \
+                    (bp.replicated or int(bt.capacity) * self.n_shards
+                     <= BROADCAST_MAX_ROWS):
+                d = "broadcast"
+            else:
+                d = "shuffle"
+        self._decisions[id(op)] = d
+        return d
+
+    def _exec_join(self, op: Join, ins) -> Tuple[Table, Placement]:
+        (lt, lp), (rt, rp) = ins
+        mode = op.mode
+        decision = self._join_decision(op, ins)
+
+        if decision in ("replicated", "gather"):
+            tables = [self._gathered(lt, lp), self._gathered(rt, rp)]
+            return self._run_local(op, tables), REPLICATED
+
+        # probe side: the side whose rows the output is built from
+        pi = 1 if mode is JoinMode.RIGHT else 0
+        (pt, pp) = ins[pi]
+        (bt, bp) = ins[1 - pi]
+        pcol = (op.left_col, op.right_col)[pi]
+        is_str = pt.column(pcol).dtype is DataType.STRING
+
+        def done(res: Table, key: Optional[str]) -> Tuple[Table, Placement]:
+            if key is not None and is_str:
+                key = None
+            if key is not None and not res.has_column(key):
+                key = None
+            return res, Placement(False, key)
+
+        # co-partitioned: both sides already placed by the join key
+        if decision == "copart":
+            return done(self._run_local(op, [lt, rt]), pcol)
+
+        # build side replicated (or small enough to broadcast): probe rows
+        # stay put — the reference's swap-rules analogue
+        if decision == "broadcast":
+            b_rep = self._gathered(bt, bp)
+            tables = [None, None]
+            tables[pi] = pt
+            tables[1 - pi] = b_rep
+            return done(self._run_local(op, tables), pp.key)
+
+        # general case: co-partition both sides on the join key. Sharded
+        # sides shuffle (all_to_all); replicated sides localize.
+        assert decision == "shuffle", decision
+        lk, rk = _promoted_keys(lt, rt, op.left_col, op.right_col)
+        if lp.replicated:
+            lt2 = localize_by_key(lt, lk, self.n_shards,
+                                  label="join.localize_l")
+        elif lp.key == op.left_col:
+            lt2 = lt
+        else:
+            lt2 = repartition_sharded(lt, lk, self.n_shards,
+                                      label="join.shuffle_l")
+        if rp.replicated:
+            rt2 = localize_by_key(rt, rk, self.n_shards,
+                                  label="join.localize_r")
+        elif rp.key == op.right_col:
+            rt2 = rt
+        else:
+            rt2 = repartition_sharded(rt, rk, self.n_shards,
+                                      label="join.shuffle_r")
+        return done(self._run_local(op, [lt2, rt2]), pcol)
+
+    # -- aggregates -----------------------------------------------------------
+
+    def _exec_aggregate(self, op: Aggregate, in_: Tuple[Table, Placement]):
+        t, p = in_
+        if p.replicated:
+            return self._run_local(op, [t]), REPLICATED
+        if p.key is not None and p.key in op.groupby:
+            # groups are shard-local: the local aggregate IS the global one
+            res = self._run_local(op, [t])
+            return res, self._preserved(p, res)
+        fns = {agg.fn for _, agg in op.aggregates}
+        if not fns <= _DECOMPOSABLE:
+            return self._run_local(op, [gather_replicated(t, self.n_shards)]), \
+                REPLICATED
+
+        # two-phase: local partials -> all_gather -> combine -> finalize
+        partial_specs: List[Tuple[str, AggregateExpr]] = []
+        combine_specs: List[Tuple[str, AggregateExpr]] = []
+        finalize: List[Tuple[str, str, Tuple[str, ...]]] = []
+        for i, (out_name, agg) in enumerate(op.aggregates):
+            if agg.fn is AggregateFunction.AVG:
+                s, c = f"__s{i}", f"__c{i}"
+                partial_specs += [
+                    (s, AggregateExpr(AggregateFunction.SUM, agg.arg)),
+                    (c, AggregateExpr(AggregateFunction.COUNT, agg.arg))]
+                combine_specs += [
+                    (s, AggregateExpr(AggregateFunction.SUM, ColumnRef(s))),
+                    (c, AggregateExpr(AggregateFunction.SUM, ColumnRef(c)))]
+                finalize.append(("avg", out_name, (s, c)))
+            else:
+                pn = f"__p{i}"
+                partial_specs.append((pn, agg))
+                comb_fn = (AggregateFunction.SUM
+                           if agg.fn in (AggregateFunction.SUM,
+                                         AggregateFunction.COUNT)
+                           else agg.fn)
+                combine_specs.append(
+                    (pn, AggregateExpr(comb_fn, ColumnRef(pn))))
+                kind = ("count" if agg.fn is AggregateFunction.COUNT
+                        else "col")
+                finalize.append((kind, out_name, (pn,)))
+
+        partial = self._run_agg(t, op.groupby, partial_specs)
+        gathered = gather_replicated(partial, self.n_shards)
+        combined = self._run_agg(gathered, op.groupby, combine_specs)
+
+        cols: List[Column] = [combined.column(g) for g in op.groupby]
+        for kind, out_name, names in finalize:
+            if kind == "avg":
+                s = combined.column(names[0])
+                c = combined.column(names[1])
+                cnt = c.data.astype(jnp.int64)
+                data = s.data.astype(jnp.float64) / jnp.maximum(cnt, 1)
+                cols.append(Column(out_name, DataType.FLOAT64, data,
+                                   cnt > 0, None))
+            elif kind == "count":
+                c = combined.column(names[0])
+                cols.append(Column(out_name, DataType.INT64,
+                                   c.data.astype(jnp.int64), None, None))
+            else:
+                cols.append(combined.column(names[0]).with_name(out_name))
+        return Table(cols, combined.num_rows, name=t.name), REPLICATED
+
+    @staticmethod
+    def _run_agg(t: Table, groupby, specs) -> Table:
+        tw = TableWrapper(t)
+        tw._output = t
+        return Aggregate(tw, groupby, specs)._on_execute(None)

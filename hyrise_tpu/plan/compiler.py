@@ -289,7 +289,7 @@ class CompiledQuery:
             # adopt them and register the entry under the full vector too
             self.caps = list(caps_list)
             self._jit_cache[tuple(self.caps)] = (fn, caps_list)
-            counts_h = np.asarray(counts)
+            counts_h = self._counts_host(counts)
             overflow = [i for i, c in enumerate(counts_h)
                         if i < len(self.caps) and c > self.caps[i]]
             if not overflow:
@@ -303,6 +303,11 @@ class CompiledQuery:
             self.last_retries += 1
         raise RuntimeError("capacity retry limit exceeded: " +
                            str(list(zip(self._labels, self.caps))))
+
+    def _counts_host(self, counts) -> np.ndarray:
+        """Per-site observed counts for the overflow check (subclasses with
+        sharded counts reduce across shards here)."""
+        return np.asarray(counts)
 
     def _tighten(self, counts_h: np.ndarray) -> None:
         for i, c in enumerate(counts_h):

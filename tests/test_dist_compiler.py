@@ -1,0 +1,211 @@
+"""Distributed plan compiler tests (parallel/dist_compiler.py).
+
+All 22 TPC-H queries execute over hash-partitioned ShardedTables on the
+simulated 8-device mesh through the SAME physical-operator code as
+single-chip, with exchanges inserted by placement rules — and must produce
+exactly the single-node results. This is the distributed analogue of the
+reference's scheduler tests running every operator across fake NUMA
+topologies (reference: src/test/scheduler/scheduler_test.cpp,
+topology.hpp:81)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pandas as pd
+import pytest
+
+from hyrise_tpu.ops.aggregate import Aggregate
+from hyrise_tpu.ops.base import execute_plan
+from hyrise_tpu.ops.get_table import GetTable
+from hyrise_tpu.ops.join import Join
+from hyrise_tpu.ops.misc import Limit
+from hyrise_tpu.ops.sort import Sort
+from hyrise_tpu.ops.table_scan import TableScan
+from hyrise_tpu.parallel.dist_compiler import (DistributedCompiledQuery,
+                                               ShardedCatalog, shard_tpch)
+from hyrise_tpu.parallel.mesh import make_mesh
+from hyrise_tpu.storage.catalog import Catalog
+from hyrise_tpu.storage.table import Table
+from hyrise_tpu.tpch.dbgen import generate_tables
+from hyrise_tpu.tpch.queries import TPCH_PLANS
+from hyrise_tpu.expression import ast
+from hyrise_tpu.types import JoinMode
+from hyrise_tpu.utils.table_eq import assert_tables_equal
+
+SF = 0.01
+
+
+@pytest.fixture(scope="module")
+def tpch_env():
+    tables = generate_tables(SF)
+    cat = Catalog()
+    for name, t in tables.items():
+        cat.add_table(name, t)
+    mesh = make_mesh(8)
+    sc = shard_tpch(cat, mesh)
+    return cat, sc
+
+
+@pytest.mark.parametrize("qid", sorted(TPCH_PLANS))
+def test_tpch_distributed_matches_single_node(tpch_env, qid):
+    cat, sc = tpch_env
+    ref = execute_plan(TPCH_PLANS[qid](cat))
+    dq = DistributedCompiledQuery(TPCH_PLANS[qid](cat), sc)
+    got = dq.run()
+    assert got.column_names == ref.column_names
+    assert_tables_equal(got.rows(), ref.rows(), ordered=True, rel_tol=1e-6)
+    # steady state: re-run must not grow capacities
+    caps = list(dq.caps)
+    got2 = dq.run()
+    assert dq.last_retries == 0
+    assert list(dq.caps) == caps
+    assert_tables_equal(got2.rows(), ref.rows(), ordered=True, rel_tol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# targeted strategy tests on synthetic data
+
+
+def _mini_env(n_rows=200, seed=0):
+    rng = np.random.default_rng(seed)
+    fact = Table.from_pandas("fact", pd.DataFrame({
+        "k": rng.integers(0, 40, size=n_rows).astype(np.int64),
+        "g": rng.integers(0, 7, size=n_rows).astype(np.int32),
+        "v": rng.normal(size=n_rows).astype(np.float64),
+    }))
+    dim = Table.from_pandas("dim", pd.DataFrame({
+        "k": np.arange(0, 40, dtype=np.int64),
+        "name": [f"n{i % 5}" for i in range(40)],
+    }))
+    other = Table.from_pandas("other", pd.DataFrame({
+        "k": rng.integers(0, 40, size=97).astype(np.int64),
+        "w": rng.normal(size=97).astype(np.float64),
+    }))
+    cat = Catalog()
+    for t in (fact, dim, other):
+        cat.add_table(t.name, t)
+    mesh = make_mesh(8)
+    sc = ShardedCatalog(mesh)
+    sc.add_sharded("fact", fact, "k")
+    sc.add_replicated("dim", dim)
+    # partitioned by a column that is NOT the join key -> forces shuffles
+    sc.add_sharded("other", other, "w")
+    return cat, sc
+
+
+def _check(cat, sc, plan_fn, ordered=False):
+    ref = execute_plan(plan_fn(cat))
+    dq = DistributedCompiledQuery(plan_fn(cat), sc)
+    got = dq.run()
+    assert_tables_equal(got.rows(), ref.rows(), ordered=ordered, rel_tol=1e-9)
+    return dq
+
+
+@pytest.mark.parametrize("mode", [JoinMode.INNER, JoinMode.LEFT,
+                                  JoinMode.RIGHT, JoinMode.SEMI,
+                                  JoinMode.ANTI])
+def test_broadcast_join_modes(mode):
+    cat, sc = _mini_env()
+
+    def plan(c):
+        return Sort(Join(GetTable("fact", c), GetTable("dim", c), mode,
+                         ("k", "k")), ["k", "v"])
+    _check(cat, sc, plan, ordered=False)
+
+
+@pytest.mark.parametrize("mode", [JoinMode.INNER, JoinMode.LEFT,
+                                  JoinMode.RIGHT, JoinMode.OUTER,
+                                  JoinMode.SEMI, JoinMode.ANTI])
+def test_shuffle_join_modes(mode):
+    # both sides sharded, neither by the join key at the probe/build cols
+    cat, sc = _mini_env()
+
+    def plan(c):
+        return Sort(Join(GetTable("other", c), GetTable("fact", c), mode,
+                         ("k", "k")), ["k", "w"])
+    _check(cat, sc, plan, ordered=False)
+
+
+def test_copartitioned_join_stays_local():
+    cat, sc = _mini_env()
+
+    def plan(c):
+        # fact sharded by k joined to itself on k: co-partitioned path
+        return Sort(Join(GetTable("fact", c), GetTable("fact", c),
+                         JoinMode.INNER, ("k", "k")), ["k", "v"])
+    dq = _check(cat, sc, plan, ordered=False)
+    labels = dq._labels
+    assert not any("shuffle" in l or "localize" in l for l in labels), labels
+
+
+def test_two_phase_aggregate_all_fns():
+    cat, sc = _mini_env()
+
+    def plan(c):
+        return Sort(Aggregate(GetTable("fact", c), ["g"], [
+            ("s", ast.sum_(ast.col("v"))),
+            ("a", ast.avg_(ast.col("v"))),
+            ("mn", ast.min_(ast.col("v"))),
+            ("mx", ast.max_(ast.col("v"))),
+            ("cnt", ast.count_()),
+            ("cv", ast.count_(ast.col("v"))),
+        ]), ["g"])
+    _check(cat, sc, plan, ordered=True)
+
+
+def test_count_distinct_falls_back_to_gather():
+    cat, sc = _mini_env()
+
+    def plan(c):
+        return Sort(Aggregate(GetTable("fact", c), ["g"], [
+            ("d", ast.count_distinct(ast.col("k")))]), ["g"])
+    _check(cat, sc, plan, ordered=True)
+
+
+def test_aggregate_on_partition_key_stays_local():
+    cat, sc = _mini_env()
+
+    def plan(c):
+        return Sort(Aggregate(GetTable("fact", c), ["k"], [
+            ("s", ast.sum_(ast.col("v")))]), ["k"])
+    dq = _check(cat, sc, plan, ordered=True)
+    assert not any("gather" in l for l in dq._labels[:-1]), dq._labels
+
+
+def test_aggregate_with_null_groups_and_all_null_inputs():
+    rng = np.random.default_rng(1)
+    g = pd.array([None, 1, 2, 1, None, 2, 1, 2] * 8, dtype="Int32")
+    v = pd.array([None] * 16 + list(rng.normal(size=48)), dtype="Float64")
+    t = Table.from_pandas("t", pd.DataFrame({"g": g, "v": v,
+                                             "k": np.arange(64, dtype=np.int64)}))
+    cat = Catalog()
+    cat.add_table("t", t)
+    mesh = make_mesh(8)
+    sc = ShardedCatalog(mesh)
+    sc.add_sharded("t", t, "k")
+
+    def plan(c):
+        return Sort(Aggregate(GetTable("t", c), ["g"], [
+            ("s", ast.sum_(ast.col("v"))),
+            ("a", ast.avg_(ast.col("v"))),
+            ("cnt", ast.count_(ast.col("v"))),
+        ]), ["g"])
+    _check(cat, sc, plan, ordered=True)
+
+
+def test_scalar_aggregate_two_phase():
+    cat, sc = _mini_env()
+
+    def plan(c):
+        return Aggregate(TableScan(GetTable("fact", c),
+                                   ast.col("v") > ast.lit(0.0)), [], [
+            ("s", ast.sum_(ast.col("v"))),
+            ("n", ast.count_())])
+    _check(cat, sc, plan, ordered=True)
+
+
+def test_sort_and_limit_gather():
+    cat, sc = _mini_env()
+
+    def plan(c):
+        return Limit(Sort(GetTable("fact", c), ["v"]), 10)
+    _check(cat, sc, plan, ordered=True)
