@@ -358,39 +358,100 @@ class JoinMPSM(Join):
 
 
 class JoinNestedLoop(AbstractOperator):
-    """True O(n·m) fallback with arbitrary row-pair predicate, evaluated in
-    column blocks (reference join_nested_loop.cpp). Used for correctness
-    cross-checks and exotic predicates; inner mode + all basic conds."""
+    """True O(n·m) fallback with arbitrary row-pair predicate, evaluated as a
+    dense pair-mask matrix (reference join_nested_loop.cpp:294 — all modes,
+    all predicates). Used for correctness cross-checks, exotic predicates,
+    and non-equi outer joins the sorted-range engine does not cover."""
 
     name = "JoinNestedLoop"
 
     def __init__(self, left, right, mode: JoinMode, column_pair,
                  cond: PredicateCondition = PredicateCondition.EQUALS):
         super().__init__(left, right)
-        assert mode in (JoinMode.INNER,), "JoinNestedLoop: inner only (v0)"
         self.mode = mode
         self.left_col, self.right_col = column_pair
         self.cond = cond
 
     def _on_execute(self, context) -> Table:
+        mode = self.mode
         lt, rt = self.input_table(0), self.input_table(1)
         lk, lv, rk, rv = _join_key_arrays(lt, rt, self.left_col, self.right_col)
         lval = lt.live_mask() if lv is None else (lt.live_mask() & lv)
         rval = rt.live_mask() if rv is None else (rt.live_mask() & rv)
         from hyrise_tpu.expression.evaluator import _apply_cmp
+        from hyrise_tpu.ops.materialize import filter_table
         from hyrise_tpu.plan.compiler import oracle_capacity
         pair = _apply_cmp(self.cond, lk[:, None], rk[None, :])
         pair = pair & lval[:, None] & rval[None, :]
-        total, out_cap = oracle_capacity(
-            jnp.sum(pair), estimate=4 * max(lt.capacity, rt.capacity),
+        l_counts = jnp.sum(pair, axis=1)
+
+        if mode in (JoinMode.SEMI, JoinMode.ANTI):
+            keep = ((l_counts > 0) if mode is JoinMode.SEMI
+                    else (l_counts == 0)) & lt.live_mask()
+            return filter_table(lt, keep)
+
+        # matched pairs, flat left-major (deterministic output order)
+        n_pairs, pair_cap = oracle_capacity(
+            jnp.sum(l_counts), estimate=4 * max(lt.capacity, rt.capacity),
             bound=lt.capacity * rt.capacity, label="join_nl.out")
-        flat = pair.reshape(-1)
-        sel = jnp.nonzero(flat, size=out_cap, fill_value=0)[0]
-        probe_idx = (sel // rt.capacity).astype(jnp.int32)
-        build_idx = (sel % rt.capacity).astype(jnp.int32)
-        cols = _gather_columns(lt, probe_idx, None) + \
-            _gather_columns(rt, build_idx, None)
-        return Table(cols, total, name=lt.name)
+        sel = jnp.nonzero(pair.reshape(-1), size=pair_cap, fill_value=0)[0]
+        if mode is JoinMode.INNER:
+            # nonzero output is already a compacted prefix
+            cols = _gather_columns(lt, (sel // rt.capacity).astype(jnp.int32),
+                                   None) + \
+                _gather_columns(rt, (sel % rt.capacity).astype(jnp.int32),
+                                None)
+            return Table(cols, n_pairs, name=lt.name)
+        probe_parts = [(sel // rt.capacity).astype(jnp.int32)]
+        build_parts = [(sel % rt.capacity).astype(jnp.int32)]
+        flags_parts = [jnp.ones(pair_cap, dtype=jnp.int32)]
+        keeps = [jnp.arange(pair_cap) < n_pairs]
+        total = jnp.asarray(n_pairs)
+
+        if mode in (JoinMode.LEFT, JoinMode.OUTER):
+            unmatched = (l_counts == 0) & lt.live_mask()
+            n_u, u_cap = oracle_capacity(jnp.sum(unmatched),
+                                         bound=int(lt.capacity),
+                                         label="join_nl.unmatched_l")
+            u_idx = jnp.nonzero(unmatched, size=u_cap,
+                                fill_value=0)[0].astype(jnp.int32)
+            probe_parts.append(u_idx)
+            build_parts.append(jnp.zeros(u_cap, dtype=jnp.int32))
+            flags_parts.append(jnp.zeros(u_cap, dtype=jnp.int32))
+            keeps.append(jnp.arange(u_cap) < n_u)
+            total = total + n_u
+        if mode in (JoinMode.RIGHT, JoinMode.OUTER):
+            r_counts = jnp.sum(pair, axis=0)
+            unmatched = (r_counts == 0) & rt.live_mask()
+            n_u, u_cap = oracle_capacity(jnp.sum(unmatched),
+                                         bound=int(rt.capacity),
+                                         label="join_nl.unmatched_r")
+            u_idx = jnp.nonzero(unmatched, size=u_cap,
+                                fill_value=0)[0].astype(jnp.int32)
+            probe_parts.append(jnp.zeros(u_cap, dtype=jnp.int32))
+            build_parts.append(u_idx)
+            flags_parts.append(jnp.full(u_cap, 2, dtype=jnp.int32))
+            keeps.append(jnp.arange(u_cap) < n_u)
+            total = total + n_u
+
+        n_out, out_cap = oracle_capacity(
+            total, bound=int(sum(k.shape[0] for k in keeps)),
+            label="join_nl.final")
+        keep = jnp.concatenate(keeps)
+        out_sel = jnp.nonzero(keep, size=out_cap, fill_value=0)[0]
+        probe_idx = jnp.take(jnp.concatenate(probe_parts), out_sel, axis=0)
+        build_idx = jnp.take(jnp.concatenate(build_parts), out_sel, axis=0)
+        flags = jnp.take(jnp.concatenate(flags_parts), out_sel, axis=0)
+
+        probe_ok = flags != 2   # 2 = left side NULL-padded
+        build_ok = flags != 0   # 0 = right side NULL-padded
+        probe_cols = _gather_columns(
+            lt, probe_idx,
+            probe_ok if mode in (JoinMode.RIGHT, JoinMode.OUTER) else None)
+        build_cols = _gather_columns(
+            rt, build_idx,
+            build_ok if mode in (JoinMode.LEFT, JoinMode.OUTER) else None)
+        return Table(probe_cols + build_cols, n_out, name=lt.name)
 
 
 class Product(AbstractOperator):

@@ -519,6 +519,62 @@ class ColumnPruningRule:
         return root
 
 
+class IndexScanRule:
+    """Mark predicates directly over a stored table for index execution when
+    the table has an index on the scanned column (reference:
+    optimizer/strategy/index_scan_rule.cpp, applied in the Once batch of
+    optimizer.cpp:83-101). The translator lowers a marked PredicateNode to
+    ops/index_scan.IndexScan instead of TableScan."""
+
+    SUPPORTED = (PredicateCondition.EQUALS, PredicateCondition.LESS_THAN,
+                 PredicateCondition.LESS_THAN_EQUALS,
+                 PredicateCondition.GREATER_THAN,
+                 PredicateCondition.GREATER_THAN_EQUALS,
+                 PredicateCondition.BETWEEN)
+
+    def apply(self, root: L.LQPNode, catalog) -> L.LQPNode:
+        if catalog is None:
+            return root
+        seen = set()
+
+        def visit(n: L.LQPNode) -> None:
+            if id(n) in seen:
+                return
+            seen.add(id(n))
+            if isinstance(n, L.PredicateNode) and \
+                    isinstance(n.children[0], L.StoredTableNode):
+                probe = self.index_predicate(n.predicate)
+                if probe is not None:
+                    tname = n.children[0].table_name
+                    if catalog.has_table(tname):
+                        t = catalog.get_table(tname)
+                        if getattr(t, "indexes", {}).get(probe[0]):
+                            n.use_index = probe
+            for c in n.children:
+                visit(c)
+
+        visit(root)
+        return root
+
+    @classmethod
+    def index_predicate(cls, e: Expr):
+        """(column, cond, value, value2) if `e` is an index-servable
+        single-column predicate against literals, else None."""
+        from hyrise_tpu.expression.ast import (Between, ColumnRef, Comparison,
+                                               Literal)
+        if isinstance(e, Between) and isinstance(e.value, ColumnRef) and \
+                isinstance(e.lower, Literal) and isinstance(e.upper, Literal):
+            return (e.value.name, PredicateCondition.BETWEEN,
+                    e.lower.value, e.upper.value)
+        if not isinstance(e, Comparison) or e.cond not in cls.SUPPORTED:
+            return None
+        if isinstance(e.left, ColumnRef) and isinstance(e.right, Literal):
+            return (e.left.name, e.cond, e.right.value, None)
+        if isinstance(e.right, ColumnRef) and isinstance(e.left, Literal):
+            return (e.right.name, e.cond.flipped(), e.left.value, None)
+        return None
+
+
 class Optimizer:
     """Reference: optimizer.cpp:83-144 rule-batch driver."""
 
@@ -540,4 +596,5 @@ class Optimizer:
         root = JoinOrderingRule(self.stats).apply(root, catalog)
         root = PredicatePushdownRule().apply(root, catalog)
         root = ColumnPruningRule().apply(root, catalog)
+        root = IndexScanRule().apply(root, catalog)
         return root

@@ -99,7 +99,20 @@ def translate_lqp(node: L.LQPNode, catalog=None,
     elif isinstance(node, L.StaticTableNode):
         op = TableWrapper(node.table)
     elif isinstance(node, L.PredicateNode):
-        op = TableScan(T(node.children[0]), node.predicate)
+        use_index = getattr(node, "use_index", None)
+        if use_index is not None:
+            # IndexScanRule marked this scan (optimizer.py); go through the
+            # raw GetTable so the index registered on the base Table applies,
+            # re-applying any column pruning on top.
+            from hyrise_tpu.ops.index_scan import IndexScan
+            stored = node.children[0]
+            column, cond, value, value2 = use_index
+            op = IndexScan(GetTable(stored.table_name, catalog),
+                           column, cond, value, value2)
+            if stored.pruned_columns is not None:
+                op = Projection(op, list(stored.pruned_columns))
+        else:
+            op = TableScan(T(node.children[0]), node.predicate)
     elif isinstance(node, L.ProjectionNode):
         op = Projection(T(node.children[0]), node.outputs)
     elif isinstance(node, L.AggregateNode):
