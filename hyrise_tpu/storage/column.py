@@ -84,17 +84,21 @@ class Column:
     """
 
     __slots__ = ("name", "dtype", "_data", "_validity", "dictionary",
-                 "_capacity_hint")
+                 "_capacity_hint", "encoded")
 
     def __init__(self, name: str, dtype: DataType, data,
                  validity=None, dictionary: Optional[np.ndarray] = None,
-                 capacity_hint: Optional[int] = None):
+                 capacity_hint: Optional[int] = None, encoded=None):
         self.name = name
         self.dtype = dtype
         self._data = data
         self._validity = validity
         self.dictionary = dictionary
         self._capacity_hint = capacity_hint
+        # storage/encoding.py: the encoded at-rest representation when this
+        # column's dense form is a lazy decode thunk (RLE / FoR / narrow
+        # codes); None for plain dense columns
+        self.encoded = encoded
 
     @property
     def data(self) -> jax.Array:

@@ -123,37 +123,133 @@ def frame_of_reference_decode(forc: FrameOfReferenceColumn) -> jax.Array:
     return dense.reshape(-1)[:forc.num_rows]
 
 
+# -- encoded at-rest payloads -------------------------------------------------
+
+
+@dataclasses.dataclass
+class NarrowCodes:
+    """Dictionary codes (string code space or a numeric dictionary) stored in
+    the narrowest dtype — the fixed-size byte-aligned vector compression of
+    the reference (vector_compression/fixed_size_byte_aligned/*)."""
+
+    codes: jax.Array                      # int8/int16/int32
+    dictionary: Optional[jax.Array]       # numeric dictionary or None
+
+    def memory_bytes(self) -> int:
+        n = self.codes.size * self.codes.dtype.itemsize
+        if self.dictionary is not None:
+            n += self.dictionary.size * self.dictionary.dtype.itemsize
+        return n
+
+
 # -- chunk encoder -----------------------------------------------------------
 
 
 class ChunkEncoder:
     """Reference: storage/chunk_encoder.hpp:20-40 — re-encode columns with a
-    per-column spec. Here: applies narrow-dtype compression to dictionary
-    code arrays and exposes RLE/FoR as analyzable alternatives."""
+    per-column spec.
+
+    Every encoding returns a regular Column whose at-rest device storage is
+    the encoded form and whose dense form is a LAZY decode thunk (the
+    decode-to-dense normal form of SURVEY §2.1): operators are encoding-
+    oblivious, the encoded arrays are what lives in HBM until first touch,
+    and the reference's per-encoding column iterables collapse into one
+    vectorized decode kernel per encoding."""
 
     @staticmethod
-    def encode_column(column: Column, encoding: EncodingType):
-        n = column.data.shape[0]
-        host = np.asarray(column.data)
+    def encode_column(column: Column, encoding: EncodingType) -> Column:
         if encoding is EncodingType.UNENCODED:
             return column
+        cap = column.capacity
+        host = np.asarray(column.data)
+        out_dtype = column.dtype.numpy_dtype
+
         if encoding in (EncodingType.DICTIONARY,
                         EncodingType.FIXED_STRING_DICTIONARY):
             if column.dtype is DataType.STRING:
-                narrow = compress_attribute_vector(host)
-                return Column(column.name, column.dtype, jnp.asarray(narrow),
-                              column.validity, column.dictionary)
-            # numeric dictionary encoding: build a dictionary + codes
-            dictionary, codes = np.unique(host, return_inverse=True)
-            codes = compress_attribute_vector(codes.astype(np.int64))
-            c = Column(column.name, column.dtype, jnp.asarray(codes),
-                       column.validity, None)
-            c.numeric_dictionary = jnp.asarray(dictionary)
-            return c
+                # already dictionary codes: narrow the attribute vector
+                enc = NarrowCodes(jnp.asarray(compress_attribute_vector(host)),
+                                  None)
+            else:
+                dictionary, codes = np.unique(host, return_inverse=True)
+                enc = NarrowCodes(
+                    jnp.asarray(compress_attribute_vector(codes.astype(np.int64))),
+                    jnp.asarray(dictionary))
+
+            def decode(e=enc, dt=out_dtype):
+                codes = e.codes.astype(jnp.int32)
+                if e.dictionary is None:
+                    return codes
+                return jnp.take(e.dictionary, codes, axis=0).astype(dt)
+
+            return Column(column.name, column.dtype, decode, column.validity,
+                          column.dictionary, capacity_hint=cap, encoded=enc)
+
         if encoding is EncodingType.RUN_LENGTH:
             values, ends = run_length_encode(host)
-            return RunLengthColumn(jnp.asarray(values), jnp.asarray(ends), n)
+            enc = RunLengthColumn(jnp.asarray(values), jnp.asarray(ends), cap)
+            return Column(column.name, column.dtype,
+                          lambda e=enc: run_length_decode(e), column.validity,
+                          column.dictionary, capacity_hint=cap, encoded=enc)
+
         if encoding is EncodingType.FRAME_OF_REFERENCE:
-            assert column.dtype.is_integral
-            return frame_of_reference_encode(host)
+            assert column.dtype.is_integral, \
+                "FrameOfReference requires an integral column"
+            enc = frame_of_reference_encode(host)
+            return Column(column.name, column.dtype,
+                          lambda e=enc: frame_of_reference_decode(e)
+                          .astype(out_dtype), column.validity,
+                          column.dictionary, capacity_hint=cap, encoded=enc)
         raise ValueError(encoding)
+
+    @staticmethod
+    def encode_table(table, spec) -> "Table":
+        """Re-encode a table's columns. `spec` is an EncodingType applied to
+        every compatible column, or a {column_name: EncodingType} dict
+        (reference: ChunkEncoder::encode_chunks with a ColumnEncodingSpec
+        per column)."""
+        from hyrise_tpu.storage.table import Table
+        cols = []
+        for c in table.columns:
+            enc = spec.get(c.name) if isinstance(spec, dict) else spec
+            if enc is None:
+                cols.append(c)
+                continue
+            if enc is EncodingType.FRAME_OF_REFERENCE and \
+                    not c.dtype.is_integral and c.dtype is not DataType.STRING:
+                cols.append(c)  # FoR only applies to integral data
+                continue
+            if enc is EncodingType.FRAME_OF_REFERENCE and \
+                    c.dtype is DataType.STRING:
+                # string codes are integral: FoR the code vector
+                host = np.asarray(c.data)
+                payload = frame_of_reference_encode(host.astype(np.int64))
+                cols.append(Column(
+                    c.name, c.dtype,
+                    lambda e=payload: frame_of_reference_decode(e)
+                    .astype(jnp.int32), c.validity, c.dictionary,
+                    capacity_hint=c.capacity, encoded=payload))
+                continue
+            cols.append(ChunkEncoder.encode_column(c, enc))
+        t = Table(cols, table.num_rows, name=table.name)
+        t.mvcc = table.mvcc
+        return t
+
+
+def encoded_memory_bytes(column: Column) -> int:
+    """At-rest HBM bytes of a column (encoded form if present)."""
+    e = column.encoded
+    if e is None:
+        d = column.data
+        n = d.size * d.dtype.itemsize
+    elif isinstance(e, RunLengthColumn):
+        n = (e.values.size * e.values.dtype.itemsize
+             + e.end_positions.size * e.end_positions.dtype.itemsize)
+    elif isinstance(e, FrameOfReferenceColumn):
+        n = (e.frames.size * e.frames.dtype.itemsize
+             + e.offsets.size * e.offsets.dtype.itemsize)
+    else:
+        n = e.memory_bytes()
+    if column.has_validity:
+        n += column.capacity
+    return n

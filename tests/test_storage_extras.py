@@ -121,6 +121,8 @@ def test_chunk_encoder_narrow_codes():
     t = make_table()
     c = t.column("s")
     enc = ChunkEncoder.encode_column(c, EncodingType.DICTIONARY)
-    assert np.asarray(enc.data).dtype == np.int8  # 50 distinct values
-    # decoded values identical
+    # at rest: one-byte codes (50 distinct values); dense form decodes lazily
+    assert np.asarray(enc.encoded.codes).dtype == np.int8
     assert list(enc.decode(100)) == list(c.decode(100))
+    from hyrise_tpu.storage.encoding import encoded_memory_bytes
+    assert encoded_memory_bytes(enc) < encoded_memory_bytes(c)
