@@ -115,9 +115,26 @@ class FusedFilterAggregate(AbstractOperator):
             seg = n_cells + 1
             cell = jnp.where(mask, cell, n_cells)  # dead rows -> extra segment
 
-            counts = jax.ops.segment_sum(
-                jnp.ones(cap, dtype=jnp.int64), cell,
-                num_segments=seg)[:n_cells]
+            from hyrise_tpu.kernels.tpu_prims import (DENSE_CELL_MAX,
+                                                      fast_path,
+                                                      segment_reduce_cells)
+
+            def _seg(values, cells_arr, kind, sentinel=None):
+                # scatter-add segment ops are 1-2 orders off roofline on TPU
+                # (kernels/tpu_prims.py); small cell spaces use dense masked
+                # blocked reductions instead
+                if fast_path() and n_cells <= DENSE_CELL_MAX:
+                    return segment_reduce_cells(values, cells_arr, n_cells,
+                                                kind, sentinel)
+                if kind == "sum":
+                    return jax.ops.segment_sum(values, cells_arr,
+                                               num_segments=seg)[:n_cells]
+                fn = jax.ops.segment_min if kind == "min" \
+                    else jax.ops.segment_max
+                return fn(values, cells_arr, num_segments=seg)[:n_cells]
+
+            counts = _seg(jnp.where(mask, 1, 0).astype(jnp.int64), cell,
+                          "sum")
             outs = [counts]  # then per aggregate: (result, n_valid_inputs)
             for _, fn, ce, in_dt in agg_specs:
                 if ce is None:  # COUNT(*)
@@ -132,27 +149,21 @@ class FusedFilterAggregate(AbstractOperator):
                 cell_m = jnp.where(m, cell, n_cells)
                 # per-aggregate valid-input counts: an all-NULL-input group
                 # must yield NULL (not 0) for SUM/MIN/MAX/AVG.
-                cvalid = jax.ops.segment_sum(
-                    m.astype(jnp.int64), cell_m, num_segments=seg)[:n_cells]
+                cvalid = _seg(m.astype(jnp.int64), cell_m, "sum")
                 if fn is AggregateFunction.SUM:
-                    r = jax.ops.segment_sum(
-                        jnp.where(m, vals_acc, jnp.zeros_like(vals_acc)),
-                        cell_m, num_segments=seg)[:n_cells]
+                    r = _seg(jnp.where(m, vals_acc, jnp.zeros_like(vals_acc)),
+                             cell_m, "sum")
                 elif fn is AggregateFunction.COUNT:
                     r = cvalid
                 elif fn is AggregateFunction.AVG:
-                    s = jax.ops.segment_sum(
-                        jnp.where(m, vals_acc, 0.0), cell_m,
-                        num_segments=seg)[:n_cells]
+                    s = _seg(jnp.where(m, vals_acc, 0.0), cell_m, "sum")
                     r = s / jnp.maximum(cvalid.astype(jnp.float64), 1.0)
                 elif fn is AggregateFunction.MIN:
-                    r = jax.ops.segment_min(
-                        jnp.where(m, vals_acc, jnp.inf), cell_m,
-                        num_segments=seg)[:n_cells]
+                    r = _seg(jnp.where(m, vals_acc, jnp.inf), cell_m, "min",
+                             sentinel=jnp.inf)
                 elif fn is AggregateFunction.MAX:
-                    r = jax.ops.segment_max(
-                        jnp.where(m, vals_acc, -jnp.inf), cell_m,
-                        num_segments=seg)[:n_cells]
+                    r = _seg(jnp.where(m, vals_acc, -jnp.inf), cell_m, "max",
+                             sentinel=-jnp.inf)
                 else:
                     raise NotImplementedError(fn)
                 outs.append((r, cvalid))
@@ -205,7 +216,8 @@ class FusedFilterAggregate(AbstractOperator):
             nonempty = counts > 0
             n_groups, cap = compiler.oracle_capacity(
                 jnp.sum(nonempty), bound=n_cells, label="fused.groups")
-            sel = jnp.nonzero(nonempty, size=cap, fill_value=0)[0]
+            from hyrise_tpu.kernels.tpu_prims import compact_indices
+            sel = compact_indices(nonempty, cap)
         else:
             n_groups, cap = 1, 1
             sel = jnp.zeros(1, dtype=jnp.int64)

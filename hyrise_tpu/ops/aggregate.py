@@ -47,7 +47,13 @@ class Aggregate(AbstractOperator):
         self.aggregates = list(aggregates)
 
     def _on_execute(self, context) -> Table:
+        from hyrise_tpu.kernels import tpu_prims
         table = self.input_table(0)
+        if tpu_prims.fast_path():
+            # TPU formulations: scatter-free segmented reductions and ONE
+            # multi-operand sort instead of lexsort + per-column gathers
+            # (see kernels/tpu_prims.py for the measurements driving this)
+            return self._fast_execute(table)
         n = table.num_rows
         cap = table.capacity
 
@@ -72,7 +78,8 @@ class Aggregate(AbstractOperator):
 
         # group-by key columns: representative = first row of each group.
         if self.groupby:
-            rep_pos = jnp.nonzero(flags, size=seg_cap, fill_value=0)[0]
+            from hyrise_tpu.kernels.tpu_prims import compact_indices
+            rep_pos = compact_indices(flags, seg_cap)
             rep_idx = jnp.take(perm, rep_pos, axis=0).astype(jnp.int32)
             rep = gather_table(table, rep_idx, n_groups)
             for name in self.groupby:
@@ -159,6 +166,377 @@ class Aggregate(AbstractOperator):
                           nonempty, None)
 
         raise NotImplementedError(fn)
+
+    # ------------------------------------------------------------------
+    # TPU fast path (kernels/tpu_prims.py): no scatter-add segment ops, no
+    # per-column gathers — dense per-cell reductions for small group spaces,
+    # one multi-operand sort + cumsum/boundary-difference reductions for
+    # large ones.
+
+    def _compile_args(self, table: Table):
+        compiled = []
+        for out_name, agg in self.aggregates:
+            if agg.fn is AggregateFunction.COUNT and agg.arg is None:
+                compiled.append((out_name, agg.fn, None, None, None, None))
+                continue
+            ce = compile_expression(agg.arg, table)
+            data, validity = ce.fn(make_env(table, ce.required))
+            if getattr(ce, "_bool", False):
+                data = data.astype(jnp.int32)
+            compiled.append((out_name, agg.fn, data, validity, ce.dtype,
+                             ce.dictionary))
+        return compiled
+
+    @staticmethod
+    def _acc(data, in_dt, fn):
+        out_dt = aggregate_result_type(fn, in_dt)
+        return data.astype(jnp.float64 if out_dt is DataType.FLOAT64
+                           else jnp.int64), out_dt
+
+    @staticmethod
+    def _sentinel(key, for_min: bool):
+        if key.dtype.kind == "f":
+            return jnp.array(jnp.inf if for_min else -jnp.inf,
+                             dtype=key.dtype)
+        info = jnp.iinfo(key.dtype)
+        return jnp.array(info.max if for_min else info.min, dtype=key.dtype)
+
+    def _fast_execute(self, table: Table) -> Table:
+        live = table.live_mask()
+        compiled = self._compile_args(table)
+        if not self.groupby:
+            return self._fast_scalar(table, live, compiled)
+        sizes = self._dense_sizes(table)
+        if sizes is not None:
+            return self._fast_dense(table, live, compiled, sizes)
+        return self._fast_sorted(table, live, compiled)
+
+    # -- scalar (no group-by): global masked blocked reductions -------------
+
+    def _fast_scalar(self, table: Table, live, compiled) -> Table:
+        from hyrise_tpu.kernels.tpu_prims import _blocked
+        out_cols: List[Column] = []
+        for out_name, fn, data, validity, in_dt, dictionary in compiled:
+            if fn is AggregateFunction.COUNT and data is None:
+                n = jnp.sum(live.astype(jnp.int64))[None]
+                out_cols.append(Column(out_name, DataType.INT64, n, None,
+                                       None))
+                continue
+            v = live if validity is None else (live & validity)
+            count = jnp.sum(v.astype(jnp.int64))
+            nonempty = (count > 0)[None]
+            if fn is AggregateFunction.COUNT:
+                out_cols.append(Column(out_name, DataType.INT64, count[None],
+                                       None, None))
+            elif fn in (AggregateFunction.SUM, AggregateFunction.AVG):
+                acc, out_dt = self._acc(data, in_dt, fn)
+                s = jnp.sum(_blocked(jnp.where(v, acc, jnp.zeros_like(acc))),
+                            axis=1).sum()
+                if fn is AggregateFunction.SUM:
+                    out_cols.append(Column(out_name, out_dt,
+                                           s.astype(out_dt.numpy_dtype)[None],
+                                           nonempty, None))
+                else:
+                    avg = s.astype(jnp.float64) / jnp.maximum(count, 1)
+                    out_cols.append(Column(out_name, DataType.FLOAT64,
+                                           avg[None], nonempty, None))
+            elif fn in (AggregateFunction.MIN, AggregateFunction.MAX):
+                key = data.astype(jnp.int64) if in_dt is DataType.STRING \
+                    else data
+                is_min = fn is AggregateFunction.MIN
+                masked = jnp.where(v, key, self._sentinel(key, is_min))
+                red = (jnp.min if is_min else jnp.max)(masked)
+                if in_dt is DataType.STRING:
+                    out_cols.append(Column(out_name, DataType.STRING,
+                                           red.astype(jnp.int32)[None],
+                                           nonempty, dictionary))
+                else:
+                    out_dt = aggregate_result_type(fn, in_dt)
+                    out_cols.append(Column(out_name, out_dt,
+                                           red.astype(out_dt.numpy_dtype)[None],
+                                           nonempty, None))
+            elif fn is AggregateFunction.COUNT_DISTINCT:
+                key = data.astype(jnp.int64) if (
+                    in_dt.is_integral or in_dt is DataType.STRING) \
+                    else data.astype(jnp.float64)
+                masked = jnp.where(v, key, self._sentinel(key, True))
+                sk, sv = jax.lax.sort((masked, (~v).astype(jnp.int8)),
+                                      num_keys=2, is_stable=False)
+                v2 = sv == 0
+                first = jnp.zeros_like(v2).at[0].set(True)
+                new_val = v2 & (first | (sk != jnp.roll(sk, 1))
+                                | jnp.roll(~v2, 1))
+                d = jnp.sum(new_val.astype(jnp.int64))
+                out_cols.append(Column(out_name, DataType.INT64, d[None],
+                                       None, None))
+            else:
+                raise NotImplementedError(fn)
+        if not out_cols:
+            raise ValueError("Aggregate with no group-by columns and no "
+                             "aggregates")
+        return Table(out_cols, 1, name=table.name)
+
+    # -- dense cells: group space = product of dictionary domains -----------
+
+    def _dense_sizes(self, table: Table):
+        from hyrise_tpu.kernels.tpu_prims import DENSE_CELL_MAX
+        if any(agg.fn is AggregateFunction.COUNT_DISTINCT
+               for _, agg in self.aggregates):
+            return None
+        sizes, prod = [], 1
+        for name in self.groupby:
+            c = table.column(name)
+            if c.dtype is not DataType.STRING or c.dictionary is None \
+                    or c.has_validity:
+                return None
+            sizes.append(len(c.dictionary))
+            prod *= sizes[-1]
+        return sizes if prod <= DENSE_CELL_MAX else None
+
+    def _fast_dense(self, table: Table, live, compiled, sizes) -> Table:
+        from hyrise_tpu.kernels.tpu_prims import (compact_indices,
+                                                  segment_reduce_cells)
+        from hyrise_tpu.plan.compiler import oracle_capacity
+
+        cells = 1
+        for s in sizes:
+            cells *= s
+        cell = jnp.zeros(table.capacity, dtype=jnp.int32)
+        for name, size in zip(self.groupby, sizes):
+            cell = cell * size + table.column(name).data.astype(jnp.int32)
+        cell = jnp.where(live, cell, cells)  # dead rows outside the space
+
+        rows_per_cell = segment_reduce_cells(
+            jnp.where(live, 1, 0).astype(jnp.int64), cell, cells, "sum")
+        nonempty_cell = rows_per_cell > 0
+        n_groups, seg_cap = oracle_capacity(
+            jnp.sum(nonempty_cell.astype(jnp.int64)), bound=cells,
+            label="aggregate.groups")
+        # ascending cell ids == key-sorted group order (codes are
+        # order-preserving), identical to the sort-based path
+        cell_ids = compact_indices(nonempty_cell, seg_cap)
+
+        out_cols: List[Column] = []
+        stride = cells
+        for name, size in zip(self.groupby, sizes):
+            stride //= size
+            codes = (cell_ids // stride) % size
+            c = table.column(name)
+            out_cols.append(Column(name, DataType.STRING,
+                                   codes.astype(jnp.int32), None,
+                                   c.dictionary))
+
+        for out_name, fn, data, validity, in_dt, dictionary in compiled:
+            if fn is AggregateFunction.COUNT and data is None:
+                out_cols.append(Column(
+                    out_name, DataType.INT64,
+                    jnp.take(rows_per_cell, cell_ids, axis=0), None, None))
+                continue
+            v = live if validity is None else (live & validity)
+            counts = segment_reduce_cells(
+                jnp.where(v, 1, 0).astype(jnp.int64), cell, cells, "sum")
+            count_g = jnp.take(counts, cell_ids, axis=0)
+            nonempty = count_g > 0
+            if fn is AggregateFunction.COUNT:
+                out_cols.append(Column(out_name, DataType.INT64, count_g,
+                                       None, None))
+            elif fn in (AggregateFunction.SUM, AggregateFunction.AVG):
+                acc, out_dt = self._acc(data, in_dt, fn)
+                sums = segment_reduce_cells(
+                    jnp.where(v, acc, jnp.zeros_like(acc)), cell, cells,
+                    "sum")
+                s_g = jnp.take(sums, cell_ids, axis=0)
+                if fn is AggregateFunction.SUM:
+                    out_cols.append(Column(out_name, out_dt,
+                                           s_g.astype(out_dt.numpy_dtype),
+                                           nonempty, None))
+                else:
+                    avg = s_g.astype(jnp.float64) / jnp.maximum(count_g, 1)
+                    out_cols.append(Column(out_name, DataType.FLOAT64, avg,
+                                           nonempty, None))
+            elif fn in (AggregateFunction.MIN, AggregateFunction.MAX):
+                key = data.astype(jnp.int64) if in_dt is DataType.STRING \
+                    else data
+                is_min = fn is AggregateFunction.MIN
+                masked = jnp.where(v, key, self._sentinel(key, is_min))
+                red = segment_reduce_cells(masked, cell, cells,
+                                           "min" if is_min else "max",
+                                           sentinel=self._sentinel(key,
+                                                                   is_min))
+                r_g = jnp.take(red, cell_ids, axis=0)
+                if in_dt is DataType.STRING:
+                    out_cols.append(Column(out_name, DataType.STRING,
+                                           r_g.astype(jnp.int32), nonempty,
+                                           dictionary))
+                else:
+                    out_dt = aggregate_result_type(fn, in_dt)
+                    out_cols.append(Column(out_name, out_dt,
+                                           r_g.astype(out_dt.numpy_dtype),
+                                           nonempty, None))
+            else:
+                raise NotImplementedError(fn)
+        return Table(out_cols, n_groups, name=table.name)
+
+    # -- general group-by: ONE multi-operand sort + run reductions ----------
+
+    def _fast_sorted(self, table: Table, live, compiled) -> Table:
+        from hyrise_tpu.kernels.tpu_prims import (compact_indices,
+                                                  segment_sums_sorted)
+        from hyrise_tpu.ops.sort_util import _value_key
+        from hyrise_tpu.plan.compiler import oracle_capacity
+
+        cap = table.capacity
+        n = table.num_rows
+        gb_cols = [table.column(name) for name in self.groupby]
+
+        # sort keys, most significant first: dead flag, then per group
+        # column (null flag [nulls first], value)
+        keys = [(~live).astype(jnp.int8)]
+        for c in gb_cols:
+            if c.has_validity:
+                keys.append(c.validity.astype(jnp.int8))
+            keys.append(_value_key(c.data, c.dtype, True))
+        payloads = []
+        for _, fn, data, validity, _, _ in compiled:
+            if data is not None:
+                payloads.append(data)
+            if validity is not None:
+                payloads.append(validity.astype(jnp.int8))
+        outs = jax.lax.sort(tuple(keys) + tuple(payloads),
+                            num_keys=len(keys), is_stable=True)
+        live_s = outs[0] == 0
+
+        # group boundaries over the sorted key columns (NULLs = one group)
+        flags = jnp.zeros(cap, dtype=bool).at[0].set(n > 0)
+        ki = 1
+        sorted_gb = []  # (value_key_sorted, validity_sorted or None)
+        for c in gb_cols:
+            if c.has_validity:
+                val_s = outs[ki] == 1
+                ki += 1
+            else:
+                val_s = None
+            v_s = outs[ki]
+            ki += 1
+            sorted_gb.append((v_s, val_s))
+            differs = v_s != jnp.roll(v_s, 1)
+            if val_s is not None:
+                vp = jnp.roll(val_s, 1)
+                differs = (differs & val_s & vp) | (val_s != vp)
+            flags = flags | differs.at[0].set(False)
+        flags = flags & live_s
+
+        n_groups, seg_cap = oracle_capacity(
+            jnp.sum(flags.astype(jnp.int64)), bound=cap,
+            label="aggregate.groups")
+        starts = compact_indices(flags, seg_cap)
+        g_valid = jnp.arange(seg_cap) < n_groups
+        next_start = jnp.where(
+            jnp.arange(seg_cap) < n_groups - 1,
+            jnp.roll(starts, -1),
+            jnp.asarray(n, dtype=jnp.int32) if not isinstance(n, int)
+            else jnp.int32(n))
+        counts_span = jnp.where(g_valid,
+                                next_start.astype(jnp.int64)
+                                - starts.astype(jnp.int64), 0)
+        # group ids for value re-sorts; dead rows get their OWN id past every
+        # group so they can never sit inside a group's run span
+        gid = jnp.cumsum(flags.astype(jnp.int32)) - 1
+        gid = jnp.where(live_s, gid, jnp.int32(2**31 - 1))
+
+        out_cols: List[Column] = []
+        for name, c, (v_s, val_s) in zip(self.groupby, gb_cols, sorted_gb):
+            rep = jnp.take(v_s, starts, axis=0)
+            rep_val = None if val_s is None else jnp.take(val_s, starts,
+                                                          axis=0)
+            if c.dtype is DataType.STRING:
+                rep = rep.astype(jnp.int32)
+            else:
+                rep = rep.astype(c.dtype.numpy_dtype)
+            out_cols.append(Column(name, c.dtype, rep, rep_val, c.dictionary))
+
+        pi = 0
+        payload_sorted = outs[len(keys):]
+        for out_name, fn, data, validity, in_dt, dictionary in compiled:
+            if data is None:  # COUNT(*)
+                out_cols.append(Column(out_name, DataType.INT64, counts_span,
+                                       None, None))
+                continue
+            d_s = payload_sorted[pi]
+            pi += 1
+            if validity is not None:
+                v_s = (payload_sorted[pi] == 1) & live_s
+                pi += 1
+            else:
+                v_s = live_s
+            count_g = segment_sums_sorted(
+                jnp.where(v_s, 1, 0).astype(jnp.int64), starts, counts_span,
+                n)
+            nonempty = count_g > 0
+            if fn is AggregateFunction.COUNT:
+                out_cols.append(Column(out_name, DataType.INT64, count_g,
+                                       None, None))
+            elif fn in (AggregateFunction.SUM, AggregateFunction.AVG):
+                acc, out_dt = self._acc(d_s, in_dt, fn)
+                sums = segment_sums_sorted(
+                    jnp.where(v_s, acc, jnp.zeros_like(acc)), starts,
+                    counts_span, n)
+                if fn is AggregateFunction.SUM:
+                    out_cols.append(Column(out_name, out_dt,
+                                           sums.astype(out_dt.numpy_dtype),
+                                           nonempty, None))
+                else:
+                    avg = sums.astype(jnp.float64) / jnp.maximum(count_g, 1)
+                    out_cols.append(Column(out_name, DataType.FLOAT64, avg,
+                                           nonempty, None))
+            elif fn in (AggregateFunction.MIN, AggregateFunction.MAX):
+                key = d_s.astype(jnp.int64) if in_dt is DataType.STRING \
+                    else d_s
+                is_min = fn is AggregateFunction.MIN
+                masked = jnp.where(v_s, key, self._sentinel(key, is_min))
+                # re-sort within groups by value; run spans are unchanged,
+                # so group minima sit at `starts` (maxima at span ends)
+                _, val2 = jax.lax.sort((gid, masked), num_keys=2,
+                                       is_stable=False)
+                if is_min:
+                    r_g = jnp.take(val2, starts, axis=0)
+                else:
+                    _, val2x = jax.lax.sort(
+                        (gid, jnp.where(v_s, key,
+                                        self._sentinel(key, False))),
+                        num_keys=2, is_stable=False)
+                    ends = jnp.clip(starts.astype(jnp.int64)
+                                    + counts_span - 1, 0, cap - 1)
+                    r_g = jnp.take(val2x, ends.astype(jnp.int32), axis=0)
+                if in_dt is DataType.STRING:
+                    out_cols.append(Column(out_name, DataType.STRING,
+                                           r_g.astype(jnp.int32), nonempty,
+                                           dictionary))
+                else:
+                    out_dt = aggregate_result_type(fn, in_dt)
+                    out_cols.append(Column(out_name, out_dt,
+                                           r_g.astype(out_dt.numpy_dtype),
+                                           nonempty, None))
+            elif fn is AggregateFunction.COUNT_DISTINCT:
+                key = d_s.astype(jnp.int64) if (
+                    in_dt.is_integral or in_dt is DataType.STRING) \
+                    else d_s.astype(jnp.float64)
+                masked = jnp.where(v_s, key, self._sentinel(key, True))
+                g2, iv2, k2 = jax.lax.sort(
+                    (gid, (~v_s).astype(jnp.int8), masked), num_keys=3,
+                    is_stable=False)
+                v2 = iv2 == 0
+                first = jnp.zeros_like(v2).at[0].set(True)
+                new_val = v2 & (first | (g2 != jnp.roll(g2, 1))
+                                | (k2 != jnp.roll(k2, 1))
+                                | jnp.roll(~v2, 1))
+                d_g = segment_sums_sorted(new_val.astype(jnp.int64), starts,
+                                          counts_span, n)
+                out_cols.append(Column(out_name, DataType.INT64, d_g, None,
+                                       None))
+            else:
+                raise NotImplementedError(fn)
+        return Table(out_cols, n_groups, name=table.name)
 
     @staticmethod
     def _count_distinct(d, v, gid, in_dt: DataType, seg_cap: int):

@@ -91,9 +91,12 @@ def _build_side(keys: jax.Array, valid: jax.Array):
 
 @partial(jax.jit, static_argnames=("cond",))
 def _probe_ranges(sorted_keys, n_valid, probe_keys, probe_valid, cond):
-    """Per-probe-row contiguous match range [lo, hi) in the sorted build."""
-    left_pos = jnp.searchsorted(sorted_keys, probe_keys, side="left")
-    right_pos = jnp.searchsorted(sorted_keys, probe_keys, side="right")
+    """Per-probe-row contiguous match range [lo, hi) in the sorted build.
+    Ranks come from merged sorts (kernels/tpu_prims.py): jnp.searchsorted's
+    binary search is gather-bound on TPU (~100x slower than sort)."""
+    from hyrise_tpu.kernels.tpu_prims import rank_in_sorted
+    left_pos = rank_in_sorted(sorted_keys, probe_keys, "left")
+    right_pos = rank_in_sorted(sorted_keys, probe_keys, "right")
     if cond is PredicateCondition.EQUALS:
         lo, hi = left_pos, right_pos
     elif cond is PredicateCondition.LESS_THAN:        # probe < build
@@ -248,8 +251,8 @@ class Join(AbstractOperator):
             unmatched = (total_counts == 0) & live
             n_unmatched, u_cap = oracle_capacity(
                 jnp.sum(unmatched), bound=probe_cap, label="join.unmatched")
-            u_idx = jnp.nonzero(unmatched, size=u_cap, fill_value=0)[0] \
-                .astype(jnp.int32)
+            from hyrise_tpu.kernels.tpu_prims import compact_indices
+            u_idx = compact_indices(unmatched, u_cap)
             probe_parts.append(u_idx)
             build_parts.append(jnp.zeros(u_cap, dtype=jnp.int32))
             flags_parts.append(jnp.zeros(u_cap, dtype=bool))
@@ -267,8 +270,8 @@ class Join(AbstractOperator):
             n_build_unmatched, bu_cap = oracle_capacity(
                 jnp.sum(b_unmatched), bound=int(build_t.capacity),
                 label="join.build_unmatched")
-            bu_idx = jnp.nonzero(b_unmatched, size=bu_cap, fill_value=0)[0] \
-                .astype(jnp.int32)
+            from hyrise_tpu.kernels.tpu_prims import compact_indices
+            bu_idx = compact_indices(b_unmatched, bu_cap)
             probe_parts.append(jnp.zeros(bu_cap, dtype=jnp.int32))
             build_parts.append(bu_idx)
             # flag False means "NULL-pad the OTHER side": we need per-side
@@ -303,10 +306,9 @@ class Join(AbstractOperator):
         n_out, out_cap = oracle_capacity(
             jnp.asarray(counts_rows + n_unmatched + n_build_unmatched),
             bound=int(flat_flags.shape[0]), label="join.out")
-        sel = jnp.nonzero(keep, size=out_cap, fill_value=0)[0]
-        probe_idx = jnp.take(flat_probe, sel, axis=0)
-        build_idx = jnp.take(flat_build, sel, axis=0)
-        flags = jnp.take(flat_flags, sel, axis=0)
+        from hyrise_tpu.kernels.tpu_prims import compact
+        probe_idx, build_idx, flags = compact(
+            keep, (flat_probe, flat_build, flat_flags), out_cap)
 
         probe_ok = flags != 2
         build_ok = flags >= 1  # 1 = both real, 2 = build real / probe NULL

@@ -22,21 +22,17 @@ from hyrise_tpu.storage.table import Table
 from hyrise_tpu.types import bucket_capacity
 
 
-@partial(jax.jit, static_argnames=("capacity",))
-def _nonzero_indices(mask: jax.Array, capacity: int) -> jax.Array:
-    return jnp.nonzero(mask, size=capacity, fill_value=0)[0].astype(jnp.int32)
-
-
 def mask_to_indices(mask: jax.Array) -> Tuple[jax.Array, object]:
     """Compact a boolean mask into (indices, count).
 
     Eager: one host sync (the reference's per-operator barrier). Compiled:
     the count stays traced and the capacity is the oracle's speculative
     static size (bounded by the mask length — a filter cannot grow)."""
+    from hyrise_tpu.kernels.tpu_prims import compact_indices
     from hyrise_tpu.plan.compiler import oracle_capacity
     count, cap = oracle_capacity(jnp.sum(mask), bound=int(mask.shape[0]),
                                  label="filter")
-    return _nonzero_indices(mask, cap), count
+    return compact_indices(mask, cap), count
 
 
 @jax.jit
@@ -68,7 +64,34 @@ def gather_table(table: Table, indices: jax.Array, count: int,
 
 
 def filter_table(table: Table, mask: jax.Array) -> Table:
-    """mask (capacity,) → compacted table. Mask is ANDed with live rows."""
+    """mask (capacity,) → compacted table. Mask is ANDed with live rows.
+
+    TPU fast path: ONE multi-operand stable sort moves every column to its
+    compacted position (kernels/tpu_prims.py — nonzero + per-column gathers
+    are 1-2 orders of magnitude slower than sort on TPU). CPU keeps the
+    lazy-gather form (late materialization)."""
+    from hyrise_tpu.kernels import tpu_prims
     mask = mask & table.live_mask()
-    indices, count = mask_to_indices(mask)
-    return gather_table(table, indices, count)
+    if not tpu_prims.fast_path():
+        indices, count = mask_to_indices(mask)
+        return gather_table(table, indices, count)
+    from hyrise_tpu.plan.compiler import oracle_capacity
+    count, cap = oracle_capacity(jnp.sum(mask), bound=int(mask.shape[0]),
+                                 label="filter")
+    arrays, has_v = [], []
+    for c in table.columns:
+        arrays.append(c.data)
+        has_v.append(c.has_validity)
+        if c.has_validity:
+            arrays.append(c.validity)
+    outs = tpu_prims.compact(mask, arrays, cap)
+    cols, i = [], 0
+    for c, hv in zip(table.columns, has_v):
+        data = outs[i]
+        i += 1
+        validity = None
+        if hv:
+            validity = outs[i]
+            i += 1
+        cols.append(Column(c.name, c.dtype, data, validity, c.dictionary))
+    return Table(cols, count, name=table.name)

@@ -380,10 +380,10 @@ class DistributedCompiledQuery(CompiledQuery):
                                  c.validity is not None))
         self._out_meta = meta
         self._labels = ctx.labels
-        counts = (jnp.stack(ctx.counts) if ctx.counts
-                  else jnp.zeros(0, dtype=jnp.int64))
         n_rows = jnp.asarray(out.num_rows, dtype=jnp.int64)
-        return tuple(datas), tuple(valids), n_rows, counts[None, :], salt
+        counts = jnp.stack(ctx.counts + [n_rows]) if ctx.counts \
+            else n_rows[None]
+        return tuple(datas), tuple(valids), counts[None, :], salt
 
     def _get_jitted(self):
         key = tuple(self.caps)
@@ -391,7 +391,7 @@ class DistributedCompiledQuery(CompiledQuery):
         if entry is None:
             caps_list = list(self.caps)
             in_specs = (self._in_specs(), P())
-            out_specs = (P(), P(), P(), P(SHARD_AXIS), P())
+            out_specs = (P(), P(), P(SHARD_AXIS), P())
 
             def run_plan(flat_args, salt, _caps=caps_list):
                 return self._traced_fn(flat_args, salt, _caps)
