@@ -21,9 +21,23 @@ __version__ = "0.1.0"
 
 # A SQL engine needs real int64/float64 (SUM/COUNT accumulators, long keys).
 # Must be set before any jax array is created.
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent XLA compilation cache: whole-plan query programs take minutes to
+# compile through the remote-TPU tunnel but hit this cache in ~2s on any
+# later process. Opt out with HYRISE_COMPILATION_CACHE=0 or point
+# HYRISE_COMPILATION_CACHE_DIR elsewhere.
+if _os.environ.get("HYRISE_COMPILATION_CACHE", "1") not in ("0", "false"):
+    _jax.config.update(
+        "jax_compilation_cache_dir",
+        _os.environ.get("HYRISE_COMPILATION_CACHE_DIR",
+                        _os.path.expanduser("~/.cache/hyrise_tpu_xla")))
+    _jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from hyrise_tpu.types import DataType, JoinMode, PredicateCondition, SortMode  # noqa: F401
 from hyrise_tpu.storage.table import Table  # noqa: F401

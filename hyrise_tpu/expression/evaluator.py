@@ -552,6 +552,32 @@ class _Compiler:
             return _C(DataType.STRING, new_dict, fn)
         if name == "concat":
             return self._concat(e.args)
+        if name == "extract":
+            # EXTRACT(field FROM date_col): dates are dictionary codes of
+            # 'YYYY-MM-DD' strings, so the field value is a HOST rewrite of
+            # the (small) dictionary followed by a device code remap — the
+            # same trick as SUBSTR (reference deviates here too: its TPC-H
+            # queries pre-substring dates because hsql lacks EXTRACT,
+            # tpch_queries.cpp deviations).
+            assert isinstance(e.args[0], ast.Literal)
+            field = str(e.args[0].value).lower()
+            vc = self.compile(e.args[1])
+            if vc.dtype is not DataType.STRING:
+                raise TypeError("EXTRACT requires a date (string) column")
+            sl = {"year": slice(0, 4), "month": slice(5, 7),
+                  "day": slice(8, 10)}.get(field)
+            if sl is None:
+                raise NotImplementedError(f"EXTRACT({field})")
+            d = vc.dictionary
+            vals = (np.array([int(s[sl]) for s in d], dtype=np.int64)
+                    if len(d) else np.zeros(1, dtype=np.int64))
+            lut = jnp.asarray(vals)
+
+            def fn(env: Env) -> Value:
+                codes, v = vc.fn(env)
+                return lut[jnp.clip(codes, 0, max(len(d) - 1, 0))], v
+
+            return _C(DataType.INT64, None, fn)
         raise NotImplementedError(f"function {name}")
 
     def _concat(self, args) -> _C:

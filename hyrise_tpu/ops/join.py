@@ -135,6 +135,8 @@ def _gather_columns(table: Table, indices: jax.Array,
     """Gather columns at indices — LAZILY (late materialization): only
     columns read downstream pay their gather. extra_valid (aligned with
     indices) marks rows that must become NULL (outer-join padding)."""
+    from hyrise_tpu.utils.asserts import assert_indices_in_range
+    assert_indices_in_range(indices, table.capacity, "join.gather_columns")
     cap = int(indices.shape[0])
     cols = []
     for c in table.columns:

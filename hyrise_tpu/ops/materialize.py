@@ -48,6 +48,8 @@ def gather_table(table: Table, indices: jax.Array, count: int,
     ReferenceColumn idea): each output column holds a thunk and only columns
     actually read downstream pay the gather — the dominant cost in wide
     multi-join plans."""
+    from hyrise_tpu.utils.asserts import assert_indices_in_range
+    assert_indices_in_range(indices, table.capacity, "gather_table.indices")
     cap = int(indices.shape[0])
     cols = []
     for c in table.columns:

@@ -76,6 +76,39 @@ def generate_table_statistics(table: Table, sample: int = 65536
     return TableStatistics(float(n), cols)
 
 
+def export_table_statistics(stats: TableStatistics, path: str) -> None:
+    """Write statistics as JSON (reference:
+    src/lib/statistics/statistics_import_export.cpp — export_table_statistics
+    serializes row count + per-column stats)."""
+    import json
+    doc = {
+        "row_count": stats.row_count,
+        "columns": {
+            name: {
+                "distinct_count": cs.distinct_count,
+                "min": cs.min_value,
+                "max": cs.max_value,
+                "null_fraction": cs.null_fraction,
+            } for name, cs in stats.columns.items()
+        },
+    }
+    with open(path, "w") as f:
+        json.dump(doc, f, indent=1)
+
+
+def import_table_statistics(path: str) -> TableStatistics:
+    """Reference: statistics_import_export.cpp import_table_statistics."""
+    import json
+    with open(path) as f:
+        doc = json.load(f)
+    cols = {
+        name: ColumnStatistics(c["distinct_count"], c.get("min"),
+                               c.get("max"), c.get("null_fraction", 0.0))
+        for name, c in doc["columns"].items()
+    }
+    return TableStatistics(float(doc["row_count"]), cols)
+
+
 def estimate_predicate_selectivity(stats: Optional[TableStatistics],
                                    pred: ast.Expr) -> float:
     """Selectivity in [0,1] of a predicate expression (reference:

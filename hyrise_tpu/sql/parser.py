@@ -815,6 +815,14 @@ class Parser:
             # function call?
             if self.at_op("("):
                 self.take()
+                if name.lower() == "extract":
+                    # EXTRACT(YEAR|MONTH|DAY FROM expr)
+                    field = self.take().value.lower()
+                    self.expect_kw("from")
+                    arg = self.parse_expr()
+                    self.expect_op(")")
+                    return EFunc("extract", [ELiteral(field), arg], False,
+                                 False)
                 distinct = False
                 star = False
                 args: List[object] = []

@@ -43,52 +43,91 @@ class StatementMetrics:
 
 
 class SQLQueryCache:
-    """Reference: sql/sql_query_cache.hpp with pluggable eviction policies
-    (lru_cache.hpp, gdfs_cache.hpp, random_cache.hpp). Policies:
-    'lru' (default), 'gdfs' (greedy-dual frequency: evict lowest
-    priority = frequency + clock), 'random'."""
+    """Reference: sql/sql_query_cache.hpp with pluggable eviction policies —
+    lru_cache.hpp, lru_k_cache.hpp, gds_cache.hpp, gdfs_cache.hpp,
+    random_cache.hpp. Policies:
+
+    - 'lru': least recently used.
+    - 'lru_k': evict by oldest K-th most recent access (K=2); entries with
+      fewer than K accesses are evicted first (classic LRU-K).
+    - 'gds': greedy-dual size — priority = clock + cost/size; on eviction
+      the clock advances to the evicted priority (cost/size per entry are
+      optional put() args, both 1.0 by default).
+    - 'gdfs': greedy-dual frequency-size — priority = clock +
+      frequency * cost / size.
+    - 'random'.
+    """
+
+    K = 2  # LRU-K history depth
 
     def __init__(self, capacity: int = 256, policy: str = "lru"):
-        assert policy in ("lru", "gdfs", "random")
+        assert policy in ("lru", "lru_k", "gds", "gdfs", "random")
         self.capacity = capacity
         self.policy = policy
         self._d: OrderedDict = OrderedDict()
         self._freq: Dict = {}
+        self._hist: Dict = {}        # lru_k: last K access tick times
+        self._cost_size: Dict = {}   # gds/gdfs: (cost, size)
+        self._prio: Dict = {}        # gds/gdfs: cached priority
         self._clock = 0.0
+        self._tick = 0
+
+    def _touch(self, key):
+        self._tick += 1
+        if self.policy == "lru":
+            self._d.move_to_end(key)
+        elif self.policy == "lru_k":
+            h = self._hist.setdefault(key, [])
+            h.append(self._tick)
+            del h[:-self.K]
+        elif self.policy in ("gds", "gdfs"):
+            self._freq[key] = self._freq.get(key, 0) + 1
+            cost, size = self._cost_size.get(key, (1.0, 1.0))
+            f = self._freq[key] if self.policy == "gdfs" else 1.0
+            self._prio[key] = self._clock + f * cost / size
 
     def get(self, key):
         if key not in self._d:
             return None
-        if self.policy == "lru":
-            self._d.move_to_end(key)
-        elif self.policy == "gdfs":
-            self._freq[key] = self._freq.get(key, 0) + 1
+        self._touch(key)
         return self._d[key]
 
-    def put(self, key, value):
+    def put(self, key, value, cost: float = 1.0, size: float = 1.0):
         self._d[key] = value
-        if self.policy == "lru":
-            self._d.move_to_end(key)
-        elif self.policy == "gdfs":
-            self._freq[key] = self._freq.get(key, self._clock) + 1
+        if self.policy in ("gds", "gdfs"):
+            self._cost_size[key] = (cost, size)
+        self._touch(key)
         while len(self._d) > self.capacity:
             self._evict()
 
     def _evict(self):
         if self.policy == "lru":
-            self._d.popitem(last=False)
+            k, _ = self._d.popitem(last=False)
         elif self.policy == "random":
             import random
             k = random.choice(list(self._d))
             del self._d[k]
-        else:  # gdfs
-            k = min(self._d, key=lambda x: self._freq.get(x, 0))
-            self._clock = self._freq.pop(k, self._clock)
+        elif self.policy == "lru_k":
+            # oldest K-th-most-recent access; short histories evict first
+            def kth(key):
+                h = self._hist.get(key, [])
+                return (0, h[-1] if h else 0) if len(h) < self.K \
+                    else (1, h[0])
+            k = min(self._d, key=kth)
             del self._d[k]
+        else:  # gds / gdfs: evict minimum priority, advance the clock to it
+            k = min(self._d, key=lambda x: self._prio.get(x, 0.0))
+            self._clock = self._prio.get(k, self._clock)
+            del self._d[k]
+        self._freq.pop(k, None)
+        self._hist.pop(k, None)
+        self._cost_size.pop(k, None)
+        self._prio.pop(k, None)
 
     def clear(self):
-        self._d.clear()
-        self._freq.clear()
+        for d in (self._d, self._freq, self._hist, self._cost_size,
+                  self._prio):
+            d.clear()
 
 
 LRUCache = SQLQueryCache  # backwards-compatible alias

@@ -579,7 +579,10 @@ class SQLToLQPTranslator:
                                sources=out_cols)
         joined = node
         for (outer_c, _), rn in zip(corr, renamed):
-            joined = L.JoinNode(JoinMode.INNER, joined, agg_node, outer_c, rn)
+            # LEFT join: outer rows with an empty correlated group survive
+            # with NULL aggregates (COUNT coalesces to 0 above; any other
+            # aggregate compares as NULL -> filtered, matching SQL)
+            joined = L.JoinNode(JoinMode.LEFT, joined, agg_node, outer_c, rn)
             break  # single join; extra corr pairs filtered below
         for (outer_c, _), rn in list(zip(corr, renamed))[1:]:
             joined = L.PredicateNode(
@@ -587,10 +590,18 @@ class SQLToLQPTranslator:
                                ast.col(rn)), joined)
         cond = _COND_MAP[c.op]
         outer_e = self._expr(other, scope)
+        value_ref: ast.Expr = ast.col(agg_name)
+        if isinstance(sel_expr, P.EFunc) and sel_expr.name == "count":
+            # a correlated COUNT over an EMPTY group is 0, not absent: the
+            # LEFT join kept the outer row with a NULL count — coalesce it
+            # AFTER the join (any other aggregate stays NULL -> filtered,
+            # matching SQL comparison semantics)
+            value_ref = ast.Case([(ast.IsNull(value_ref), ast.lit(0))],
+                                 value_ref)
         if sub_on_right:
-            pred = ast.Comparison(cond, outer_e, ast.col(agg_name))
+            pred = ast.Comparison(cond, outer_e, value_ref)
         else:
-            pred = ast.Comparison(cond, ast.col(agg_name), outer_e)
+            pred = ast.Comparison(cond, value_ref, outer_e)
         return L.PredicateNode(pred, joined)
 
     # -- SELECT list / aggregation -------------------------------------------
@@ -837,6 +848,10 @@ class SQLToLQPTranslator:
                 return ast.FunctionCall("substr", [rec(a) for a in e.args])
             if e.name == "concat":
                 return ast.FunctionCall("concat", [rec(a) for a in e.args])
+            if e.name == "extract":
+                # args[0] is the field name literal injected by the parser
+                return ast.FunctionCall("extract", [
+                    ast.Literal(e.args[0].value), rec(e.args[1])])
             raise SQLTranslationError(f"unknown function {e.name!r}")
         if isinstance(e, P.ESubquery):
             sub_lqp, cols = self._select(e.subquery, scope or Scope())
