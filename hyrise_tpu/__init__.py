@@ -31,7 +31,11 @@ _jax.config.update("jax_enable_x64", True)
 # compile through the remote-TPU tunnel but hit this cache in ~2s on any
 # later process. Opt out with HYRISE_COMPILATION_CACHE=0 or point
 # HYRISE_COMPILATION_CACHE_DIR elsewhere.
-if _os.environ.get("HYRISE_COMPILATION_CACHE", "1") not in ("0", "false"):
+if _os.environ.get("HYRISE_COMPILATION_CACHE", "1") not in ("0", "false") \
+        and _os.environ.get("JAX_PLATFORMS", "") != "cpu":
+    # (cpu excluded: XLA:CPU cache entries are host-machine-feature AOT
+    # binaries that do not relocate; the remote-TPU compiles are the ones
+    # worth persisting)
     _jax.config.update(
         "jax_compilation_cache_dir",
         _os.environ.get("HYRISE_COMPILATION_CACHE_DIR",
