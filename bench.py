@@ -109,6 +109,57 @@ def main():
         f"{gbps:.0f}GB/s = {100 * gbps / HBM_PEAK_GBPS:.0f}% of HBM "
         f"speed-of-light, revenue={rev1:.2f}")
 
+    extra = {}
+    # Pallas twin of the same kernel, same chain protocol (BENCH_PALLAS=0
+    # to skip): measures whether the hand kernel beats/matches XLA fusion
+    if os.environ.get("BENCH_PALLAS", "1") not in ("0", "false"):
+        try:
+            from hyrise_tpu.kernels.pallas_scan import q6_pallas_chain
+
+            t0 = time.time()
+
+            def run_pchain(k):
+                nonlocal salt
+                salt += 1
+                return float(q6_pallas_chain(*args, jnp.int32(salt),
+                                             jnp.int32(k)))
+
+            def pmed_time(k, n=7):
+                ts = []
+                for _ in range(n):
+                    t1 = time.perf_counter()
+                    run_pchain(k)
+                    ts.append((time.perf_counter() - t1) * 1e3)
+                return sorted(ts)[len(ts) // 2]
+
+            prev = run_pchain(1)
+            log(f"pallas compile+first run {time.time() - t0:.1f}s "
+                f"rev={prev:.2f}")
+            pmed_time(1, n=2)
+            p1, pk = pmed_time(1), pmed_time(K)
+            pmed = max((pk - p1) / (K - 1), 1e-6)
+            log(f"Q6 pallas: {pmed:.3f}ms/query "
+                f"({bytes_per_pass / (pmed / 1e3) / 1e9:.0f}GB/s) vs XLA "
+                f"{med:.3f}ms")
+            extra["pallas_q6_ms"] = round(pmed, 3)
+        except Exception as e:  # never fail the bench line on the extra
+            log(f"pallas bench skipped: {type(e).__name__}: {e}")
+
+    # whole-suite evidence (committed report from scripts/tpch_bench.py
+    # --via compiled on this chip), surfaced alongside the headline metric
+    suite_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "tpch_report_sf1_tpu.json")
+    if os.path.exists(suite_path):
+        try:
+            with open(suite_path) as f:
+                rep = json.load(f)
+            bms = rep.get("benchmarks", [])
+            extra["suite_sf1_queries"] = len(bms)
+            extra["suite_sf1_total_ms"] = round(
+                sum(b["real_time_ms"] for b in bms), 1)
+        except Exception:
+            pass
+
     baseline_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                  "BENCH_BASELINE.json")
     vs = 1.0
@@ -123,6 +174,7 @@ def main():
         "value": round(med, 3),
         "unit": "ms",
         "vs_baseline": round(vs, 3),
+        **extra,
     }))
 
 

@@ -31,6 +31,9 @@ class BenchmarkConfig:
     warmup_runs: int = 1
     verbose: bool = False
     scale_factor: float = 1.0
+    # write the (partial) report after EVERY query so a killed long run
+    # still leaves its completed measurements on disk
+    report_path: str = ""
 
 
 class BenchmarkRunner:
@@ -67,6 +70,8 @@ class BenchmarkRunner:
                     m = np.median(self.results[name]) * 1e3
                     print(f"{name}: median {m:.2f}ms over "
                           f"{len(self.results[name])} runs")
+                if cfg.report_path:
+                    self.write_report(cfg.report_path)
         elif cfg.mode == "permuted":
             rng = np.random.default_rng(0)
             names = list(self.queries)

@@ -80,3 +80,46 @@ def q6_pallas(shipdate_codes, discount, quantity, extendedprice, live,
           reshape(shipdate_codes), reshape(discount), reshape(quantity),
           reshape(extendedprice), reshape(live.astype(jnp.int8)))
     return jnp.sum(partials.astype(jnp.float64))
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def q6_pallas_chain(shipdate_codes, discount, quantity, extendedprice, live,
+                    date_lo, date_hi, salt, k, interpret: bool = False):
+    """k sequential Q6 Pallas executions with a data dependence between
+    iterations — the same hoist-proof differenced-chain protocol as
+    kernels/q6.q6_chain, for honest Pallas-vs-XLA timing on the tunnel."""
+    n = shipdate_codes.shape[0]
+    assert n % TILE_ROWS == 0, n
+    grid = n // TILE_ROWS
+
+    def reshape(a):
+        return a.reshape(grid * TILE_SUB, TILE_LANE)
+
+    tile_spec = pl.BlockSpec((TILE_SUB, TILE_LANE),
+                             lambda i: (i, 0), memory_space=pltpu.VMEM)
+    scalar_spec = pl.BlockSpec((1, 1), lambda i: (0, 0),
+                               memory_space=pltpu.SMEM)
+    ship2, disc2, qty2, price2 = (reshape(a) for a in
+                                  (shipdate_codes, discount, quantity,
+                                   extendedprice))
+    live2 = reshape(live.astype(jnp.int8))
+
+    with jax.enable_x64(False):
+        def body(i, acc):
+            bit = acc.astype(jnp.int64).astype(jnp.int32) & 1
+            partials = pl.pallas_call(
+                _q6_scan_tile_kernel_v2,
+                grid=(grid,),
+                in_specs=[scalar_spec, scalar_spec, tile_spec, tile_spec,
+                          tile_spec, tile_spec, tile_spec],
+                out_specs=pl.BlockSpec((grid, 1), lambda i: (0, 0),
+                                       memory_space=pltpu.SMEM),
+                out_shape=jax.ShapeDtypeStruct((grid, 1), jnp.float32),
+                interpret=interpret,
+            )(jnp.reshape(jnp.asarray(date_lo, jnp.int32) + bit, (1, 1)),
+              jnp.reshape(jnp.asarray(date_hi, jnp.int32), (1, 1)),
+              ship2, disc2, qty2, price2, live2)
+            return acc + jnp.sum(partials.astype(jnp.float64))
+
+        init = jnp.float64(jnp.minimum(salt, 0))
+        return jax.lax.fori_loop(0, jnp.asarray(k, jnp.int32), body, init)

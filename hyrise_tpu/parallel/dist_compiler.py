@@ -461,6 +461,21 @@ class DistributedCompiledQuery(CompiledQuery):
         if isinstance(op, Aggregate):
             return self._exec_aggregate(op, ins[0])
 
+        if op.name == "FusedFilterAggregate":
+            # re-expand the fused scan+aggregate so the distributed
+            # aggregate strategies (shard-local / two-phase) apply instead
+            # of gathering the base table
+            from hyrise_tpu.ops.table_scan import TableScan
+            t, p = ins[0]
+            if op.predicate is not None:
+                tw = TableWrapper(t)
+                tw._output = t
+                scan = TableScan(tw, op.predicate)
+                t = scan._on_execute(None)
+                p = self._preserved(p, t)
+            agg = Aggregate(TableWrapper(t), op.groupby, op.aggregates)
+            return self._exec_aggregate(agg, (t, p))
+
         # universal fallback: replicate all inputs, run the stock operator
         tables = [self._gathered(t, p) for t, p in ins]
         res = self._run_local(op, tables)

@@ -141,7 +141,7 @@ class SQLPipelineStatement:
                  tm: TransactionManager, use_mvcc: bool,
                  optimizer: Optional[Optimizer], use_cache: bool,
                  context=None, params: Optional[List[object]] = None,
-                 use_compiled: bool = False):
+                 use_compiled: bool = False, dist_catalog=None):
         self.stmt = stmt
         self.sql_text = sql_text
         self.catalog = catalog
@@ -152,6 +152,7 @@ class SQLPipelineStatement:
         self.context = context
         self.params = params
         self.use_compiled = use_compiled
+        self.dist_catalog = dist_catalog  # ShardedCatalog -> distributed
         self.metrics = StatementMetrics()
 
     # -- stages --------------------------------------------------------------
@@ -327,6 +328,18 @@ class SQLPipelineStatement:
         path); eager per-operator dispatch otherwise or on fallback. The
         CompiledQuery (with its learned capacities) rides on the cached
         plan object, so repeated executions re-trace nothing."""
+        if self.dist_catalog is not None and not needs_tx:
+            from hyrise_tpu.parallel.dist_compiler import \
+                DistributedCompiledQuery
+            from hyrise_tpu.plan.compiler import PlanNotCompilable
+            try:
+                dq = getattr(plan, "_dist_query", None)
+                if dq is None or dq.shard_cat is not self.dist_catalog:
+                    dq = DistributedCompiledQuery(plan, self.dist_catalog)
+                    plan._dist_query = dq
+                return dq.run()
+            except PlanNotCompilable:
+                _clear_plan_outputs(plan)
         if self.use_compiled and not needs_tx:
             from hyrise_tpu.plan.compiler import (CompiledQuery,
                                                   PlanNotCompilable)
@@ -360,23 +373,25 @@ class SQLPipeline:
 
     def __init__(self, sql: str, catalog: Catalog, tm: TransactionManager,
                  use_mvcc: bool, optimizer: Optional[Optimizer],
-                 use_cache: bool, context=None, use_compiled: bool = False):
+                 use_cache: bool, context=None, use_compiled: bool = False,
+                 dist_catalog=None):
         t0 = time.perf_counter()
         self.statements = P.parse_sql(sql)
         self.parse_s = time.perf_counter() - t0
         self._sql = sql
         self._args = (catalog, tm, use_mvcc, optimizer, use_cache, context,
-                      use_compiled)
+                      use_compiled, dist_catalog)
         self.pipeline_statements: List[SQLPipelineStatement] = []
 
     def get_result_table(self) -> Table:
         (catalog, tm, use_mvcc, optimizer, use_cache, context,
-         use_compiled) = self._args
+         use_compiled, dist_catalog) = self._args
         result: Optional[Table] = None
         for stmt in self.statements:
             ps = SQLPipelineStatement(stmt, self._sql, catalog, tm, use_mvcc,
                                       optimizer, use_cache, context,
-                                      use_compiled=use_compiled)
+                                      use_compiled=use_compiled,
+                                      dist_catalog=dist_catalog)
             ps.metrics.parse_s = self.parse_s / max(len(self.statements), 1)
             self.pipeline_statements.append(ps)
             result = ps.execute()
@@ -397,6 +412,7 @@ class SQLPipelineBuilder:
         self._context = None
         import os
         self._use_compiled = os.environ.get("HYRISE_COMPILED", "") == "1"
+        self._dist_catalog = None
 
     def with_catalog(self, catalog: Catalog) -> "SQLPipelineBuilder":
         self._catalog = catalog
@@ -433,6 +449,14 @@ class SQLPipelineBuilder:
         self._use_compiled = enabled
         return self
 
+    def with_distributed_execution(self, shard_catalog
+                                   ) -> "SQLPipelineBuilder":
+        """Execute read-only plans over a ShardedCatalog as ONE
+        shard_map program per query (parallel/dist_compiler.py). The
+        ShardedCatalog's table names must cover the plan's base tables."""
+        self._dist_catalog = shard_catalog
+        return self
+
     def create_pipeline(self) -> SQLPipeline:
         return SQLPipeline(
             self.sql,
@@ -440,7 +464,8 @@ class SQLPipelineBuilder:
             self._tm if self._tm is not None else
             default_transaction_manager(),
             self._use_mvcc, self._optimizer, self._use_cache, self._context,
-            use_compiled=self._use_compiled)
+            use_compiled=self._use_compiled,
+            dist_catalog=self._dist_catalog)
 
 
 def run_sql(sql: str, catalog: Optional[Catalog] = None, context=None,

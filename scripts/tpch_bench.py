@@ -107,7 +107,8 @@ def main():
     runner = BenchmarkRunner(
         BenchmarkConfig(mode="individual", max_runs=args.runs,
                         warmup_runs=args.warmup, max_duration_s=600.0,
-                        verbose=True, scale_factor=args.sf),
+                        verbose=True, scale_factor=args.sf,
+                        report_path=args.out),
         queries)
     runner.run()
     runner.write_report(args.out)
