@@ -51,6 +51,96 @@ def fast_path() -> bool:
 
 
 # ---------------------------------------------------------------------------
+# payload packing: remote-TPU sort COMPILE time scales ~linearly with the
+# operand count (~25s per payload at 1M rows, measured), so pairs of 32-bit
+# payloads ride in one int64 lane and 8-bit payloads in int32 quads.
+
+
+def _pack_payloads(arrays: Sequence[jax.Array]):
+    """Returns (packed_list, recipe) where recipe rebuilds the originals."""
+    small = []   # (index, array as int32) for 32-bit operands
+    plan = {}    # original index -> ("64", packed_pos) | ("hi"/"lo", pos)
+    packed: List[jax.Array] = []
+    metas: List[Tuple] = []
+    for i, a in enumerate(arrays):
+        if a.dtype == jnp.bool_:
+            small.append((i, a.astype(jnp.int32)))
+            metas.append((i, "bool"))
+        elif a.dtype.itemsize == 4:
+            v = a
+            if a.dtype.kind == "f":
+                v = jax.lax.bitcast_convert_type(a, jnp.int32)
+            small.append((i, v))
+            metas.append((i, str(a.dtype)))
+        elif a.dtype.itemsize < 4:
+            small.append((i, a.astype(jnp.int32)))
+            metas.append((i, str(a.dtype)))
+        else:
+            plan[i] = ("64", len(packed))
+            packed.append(a)
+            metas.append((i, None))
+    meta_by_idx = dict(metas)
+    for j in range(0, len(small), 2):
+        i_hi, hi = small[j]
+        if j + 1 < len(small):
+            i_lo, lo = small[j + 1]
+        else:
+            i_lo, lo = None, None
+        h = hi.astype(jnp.uint32).astype(jnp.uint64) << jnp.uint64(32)
+        if lo is not None:
+            h = h | lo.astype(jnp.uint32).astype(jnp.uint64)
+        pos = len(packed)
+        packed.append(jax.lax.bitcast_convert_type(h, jnp.int64))
+        plan[i_hi] = ("hi", pos)
+        if i_lo is not None:
+            plan[i_lo] = ("lo", pos)
+    return packed, (plan, meta_by_idx, len(arrays))
+
+
+def _unpack_payloads(packed: Sequence[jax.Array], recipe):
+    plan, meta, n = recipe
+    out = [None] * n
+    for i in range(n):
+        kind, pos = plan[i]
+        if kind == "64":
+            out[i] = packed[pos]
+            continue
+        u = jax.lax.bitcast_convert_type(packed[pos], jnp.uint64)
+        word = (u >> jnp.uint64(32) if kind == "hi"
+                else u & jnp.uint64(0xFFFFFFFF)).astype(jnp.uint32)
+        w32 = jax.lax.bitcast_convert_type(word, jnp.int32)  # original bits
+        dt = meta[i]
+        if dt == "bool":
+            out[i] = w32.astype(jnp.bool_)
+        elif dt == "float32":
+            out[i] = jax.lax.bitcast_convert_type(w32, jnp.float32)
+        elif dt == "int32":
+            out[i] = w32
+        else:
+            out[i] = w32.astype(dt)
+    return out
+
+
+def sort_keys_payloads(keys: Sequence[jax.Array],
+                       payloads: Sequence[jax.Array],
+                       is_stable: bool = True
+                       ) -> Tuple[List[jax.Array], List[jax.Array]]:
+    """lax.sort by `keys` carrying `payloads`, with 32-bit payloads packed
+    pairwise into int64 lanes (halves the sort's operand count — the remote
+    compile cost driver). Returns (sorted_keys, sorted_payloads)."""
+    packed, recipe = _pack_payloads(list(payloads))
+    outs = jax.lax.sort(tuple(keys) + tuple(packed), num_keys=len(keys),
+                        is_stable=is_stable)
+    return list(outs[:len(keys)]), _unpack_payloads(outs[len(keys):], recipe)
+
+
+def sort_with_payloads(keys: Sequence[jax.Array],
+                       payloads: Sequence[jax.Array],
+                       is_stable: bool = True) -> List[jax.Array]:
+    return sort_keys_payloads(keys, payloads, is_stable)[1]
+
+
+# ---------------------------------------------------------------------------
 # compaction
 
 
@@ -83,21 +173,8 @@ def compact(mask: jax.Array, arrays: Sequence[jax.Array],
         sel = jnp.nonzero(mask, size=cap, fill_value=0)[0].astype(jnp.int32)
         return [jnp.take(a, sel, axis=0) for a in arrays]
     key = (~mask).astype(jnp.int8)
-    casted = []
-    bools = []
-    for a in arrays:
-        if a.dtype == jnp.bool_:
-            bools.append(True)
-            casted.append(a.astype(jnp.int8))
-        else:
-            bools.append(False)
-            casted.append(a)
-    outs = jax.lax.sort((key,) + tuple(casted), num_keys=1, is_stable=True)
-    res = []
-    for o, b in zip(outs[1:], bools):
-        o = _fit(o, cap)
-        res.append(o.astype(jnp.bool_) if b else o)
-    return res
+    outs = sort_with_payloads((key,), arrays, is_stable=True)
+    return [_fit(o, cap) for o in outs]
 
 
 # ---------------------------------------------------------------------------
@@ -114,22 +191,63 @@ def rank_in_sorted(sorted_keys: jax.Array, queries: jax.Array,
     nb = sorted_keys.shape[0]
     nq = queries.shape[0]
     keys = jnp.concatenate([sorted_keys, queries])
-    if side == "left":   # queries sort BEFORE equal build keys
-        tag = jnp.concatenate([jnp.ones(nb, jnp.int8),
-                               jnp.zeros(nq, jnp.int8)])
-    else:                # right: queries after equal build keys
-        tag = jnp.concatenate([jnp.zeros(nb, jnp.int8),
-                               jnp.ones(nq, jnp.int8)])
-    # query ids first (0..nq-1), build pushed after (nq..) so a final sort by
-    # qid recovers per-query ranks as a prefix — no scatter
-    qid = jnp.concatenate([nq + jnp.arange(nb, dtype=jnp.int32),
-                           jnp.arange(nq, dtype=jnp.int32)])
-    _, _, sq = jax.lax.sort((keys, tag, qid), num_keys=2, is_stable=False)
-    is_q = sq < nq
+    # packed (tag | qid) secondary key — see ranks_lo_hi for rationale
+    build_tag = jnp.int64(1 if side == "left" else 0) << 40
+    query_tag = jnp.int64(0 if side == "left" else 1) << 40
+    tq = jnp.concatenate([build_tag + jnp.arange(nb, dtype=jnp.int64),
+                          query_tag + jnp.arange(nq, dtype=jnp.int64)])
+    _, stq = jax.lax.sort((keys, tq), num_keys=2, is_stable=False)
+    is_q = (stq >> 40) == (query_tag >> 40)
     q_upto = jnp.cumsum(is_q.astype(jnp.int32))  # queries among first i+1
     rank = jnp.arange(1, nb + nq + 1, dtype=jnp.int32) - q_upto
-    _, rank_by_q = jax.lax.sort((sq, rank), num_keys=1, is_stable=False)
+    qid = jnp.where(is_q, stq & jnp.int64((1 << 40) - 1),
+                    jnp.int64(nq) + jnp.arange(nb + nq, dtype=jnp.int64))
+    packed = (qid << 32) | rank.astype(jnp.int64)
+    spk = jax.lax.sort((packed,), num_keys=1, is_stable=False)[0]
+    rank_by_q = (spk & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
     return jax.lax.slice_in_dim(rank_by_q, 0, nq)
+
+
+def ranks_lo_hi(sorted_keys: jax.Array,
+                queries: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """(searchsorted left, searchsorted right) for every query, from ONE
+    merged sort: two copies of the query keys carry different tie-break
+    tags (before / after equal build keys). Halves the sort count of the
+    equi-join probe vs two rank_in_sorted calls — big query programs are
+    compile-time-bound by their sort ops on the remote TPU."""
+    if not fast_path():
+        return (jnp.searchsorted(sorted_keys, queries, side="left")
+                .astype(jnp.int32),
+                jnp.searchsorted(sorted_keys, queries, side="right")
+                .astype(jnp.int32))
+    nb = sorted_keys.shape[0]
+    nq = queries.shape[0]
+    keys = jnp.concatenate([sorted_keys, queries, queries])
+    # tag ⧺ qid packed into ONE secondary int64: tag in the high bits gives
+    # the tie-break (lo copies < build < hi copies), qid rides below it.
+    # Sort operand count is the remote compile-time driver, so every lane
+    # saved here matters (see module docstring).
+    iq = jnp.arange(nq, dtype=jnp.int64)
+    tq = jnp.concatenate([
+        (jnp.int64(1) << 40) + jnp.arange(nb, dtype=jnp.int64),  # build
+        iq,                                                      # lo: before
+        (jnp.int64(2) << 40) + iq])                              # hi: after
+    _, stq = jax.lax.sort((keys, tq), num_keys=2, is_stable=False)
+    is_q = (stq >> 40) != 1
+    q_upto = jnp.cumsum(is_q.astype(jnp.int32))
+    rank = jnp.arange(1, nb + 2 * nq + 1, dtype=jnp.int32) - q_upto
+    # recover per-query order: qid' = 0..2nq-1 for queries, big for build
+    qid = jnp.where(is_q,
+                    (stq & jnp.int64((1 << 40) - 1))
+                    + jnp.where(stq >> 40 == 2, nq, 0),
+                    jnp.int64(2 * nq) + jnp.arange(nb + 2 * nq,
+                                                   dtype=jnp.int64))
+    packed = (qid << 32) | rank.astype(jnp.int64)
+    spk = jax.lax.sort((packed,), num_keys=1, is_stable=False)[0]
+    rank_by_q = (spk & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+    lo = jax.lax.slice_in_dim(rank_by_q, 0, nq)
+    hi = jax.lax.slice_in_dim(rank_by_q, nq, 2 * nq)
+    return lo, hi
 
 
 # ---------------------------------------------------------------------------

@@ -401,10 +401,11 @@ class Aggregate(AbstractOperator):
             if data is not None:
                 payloads.append(data)
             if validity is not None:
-                payloads.append(validity.astype(jnp.int8))
-        outs = jax.lax.sort(tuple(keys) + tuple(payloads),
-                            num_keys=len(keys), is_stable=True)
-        live_s = outs[0] == 0
+                payloads.append(validity)
+        from hyrise_tpu.kernels.tpu_prims import sort_keys_payloads
+        key_sorted, payload_sorted_all = sort_keys_payloads(
+            keys, payloads, is_stable=True)
+        live_s = key_sorted[0] == 0
 
         # group boundaries over the sorted key columns (NULLs = one group)
         flags = jnp.zeros(cap, dtype=bool).at[0].set(n > 0)
@@ -412,11 +413,11 @@ class Aggregate(AbstractOperator):
         sorted_gb = []  # (value_key_sorted, validity_sorted or None)
         for c in gb_cols:
             if c.has_validity:
-                val_s = outs[ki] == 1
+                val_s = key_sorted[ki] == 1
                 ki += 1
             else:
                 val_s = None
-            v_s = outs[ki]
+            v_s = key_sorted[ki]
             ki += 1
             sorted_gb.append((v_s, val_s))
             differs = v_s != jnp.roll(v_s, 1)
@@ -456,7 +457,7 @@ class Aggregate(AbstractOperator):
             out_cols.append(Column(name, c.dtype, rep, rep_val, c.dictionary))
 
         pi = 0
-        payload_sorted = outs[len(keys):]
+        payload_sorted = payload_sorted_all
         for out_name, fn, data, validity, in_dt, dictionary in compiled:
             if data is None:  # COUNT(*)
                 out_cols.append(Column(out_name, DataType.INT64, counts_span,
@@ -465,7 +466,7 @@ class Aggregate(AbstractOperator):
             d_s = payload_sorted[pi]
             pi += 1
             if validity is not None:
-                v_s = (payload_sorted[pi] == 1) & live_s
+                v_s = payload_sorted[pi] & live_s
                 pi += 1
             else:
                 v_s = live_s

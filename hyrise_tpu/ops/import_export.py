@@ -90,6 +90,8 @@ def load_csv(path: str, name: str = "") -> Table:
 def export_csv(table: Table, path: str) -> None:
     with open(path, "w", newline="") as f:
         w = _csv.writer(f)
+        from hyrise_tpu.ops.materialize import ensure_prefix
+        table = ensure_prefix(table)
         decoded = [c.decode(table.num_rows) for c in table.columns]
         for i in range(table.num_rows):
             w.writerow(["" if col[i] is None else col[i] for col in decoded])
@@ -103,6 +105,8 @@ def export_csv(table: Table, path: str) -> None:
 def export_binary(table: Table, path: str) -> None:
     payload = {}
     schema = []
+    from hyrise_tpu.ops.materialize import ensure_prefix
+    table = ensure_prefix(table)
     n = table.num_rows
     for i, c in enumerate(table.columns):
         payload[f"data_{i}"] = np.asarray(c.data[:n])

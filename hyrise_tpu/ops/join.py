@@ -75,16 +75,19 @@ def _build_side(keys: jax.Array, valid: jax.Array):
     """Sort build side: returns (sorted_keys, perm, n_valid).
 
     Invalid/dead rows get their key replaced by the dtype max sentinel so the
-    array is globally sorted; the (key, invalid) lexsort puts REAL max-valued
+    array is globally sorted; the (key, invalid) sort puts REAL max-valued
     rows before sentinel rows on ties, and probe ranges clamp hi to n_valid,
-    so sentinel rows can never match."""
+    so sentinel rows can never match. ONE sort carries the permutation as a
+    payload and returns the sorted keys directly (a take(perm) gather costs
+    ~20ms/1M rows on TPU)."""
     if keys.dtype.kind == "f":
         sentinel = jnp.array(jnp.inf, dtype=keys.dtype)
     else:
         sentinel = jnp.array(jnp.iinfo(keys.dtype).max, dtype=keys.dtype)
     masked = jnp.where(valid, keys, sentinel)
-    perm = jnp.lexsort([(~valid).astype(jnp.int32), masked])
-    sorted_keys = jnp.take(masked, perm, axis=0)
+    pos = jnp.arange(keys.shape[0], dtype=jnp.int32)
+    sorted_keys, _, perm = jax.lax.sort(
+        (masked, (~valid).astype(jnp.int8), pos), num_keys=2, is_stable=True)
     n_valid = jnp.sum(valid)
     return sorted_keys, perm, n_valid
 
@@ -94,11 +97,19 @@ def _probe_ranges(sorted_keys, n_valid, probe_keys, probe_valid, cond):
     """Per-probe-row contiguous match range [lo, hi) in the sorted build.
     Ranks come from merged sorts (kernels/tpu_prims.py): jnp.searchsorted's
     binary search is gather-bound on TPU (~100x slower than sort)."""
-    from hyrise_tpu.kernels.tpu_prims import rank_in_sorted
-    left_pos = rank_in_sorted(sorted_keys, probe_keys, "left")
-    right_pos = rank_in_sorted(sorted_keys, probe_keys, "right")
+    from hyrise_tpu.kernels.tpu_prims import rank_in_sorted, ranks_lo_hi
     if cond is PredicateCondition.EQUALS:
+        left_pos, right_pos = ranks_lo_hi(sorted_keys, probe_keys)
         lo, hi = left_pos, right_pos
+    elif cond in (PredicateCondition.LESS_THAN,
+                  PredicateCondition.GREATER_THAN_EQUALS):
+        right_pos = rank_in_sorted(sorted_keys, probe_keys, "right")
+        left_pos = jnp.zeros_like(right_pos)
+    else:
+        left_pos = rank_in_sorted(sorted_keys, probe_keys, "left")
+        right_pos = left_pos  # unused by the branches below
+    if cond is PredicateCondition.EQUALS:
+        pass
     elif cond is PredicateCondition.LESS_THAN:        # probe < build
         lo, hi = right_pos, n_valid
     elif cond is PredicateCondition.LESS_THAN_EQUALS:
@@ -468,8 +479,10 @@ class Product(AbstractOperator):
         super().__init__(left, right)
 
     def _on_execute(self, context) -> Table:
+        from hyrise_tpu.ops.materialize import ensure_prefix
         from hyrise_tpu.plan.compiler import oracle_capacity
-        lt, rt = self.input_table(0), self.input_table(1)
+        lt = ensure_prefix(self.input_table(0))
+        rt = ensure_prefix(self.input_table(1))
         n, m = lt.num_rows, rt.num_rows
         total, out_cap = oracle_capacity(
             jnp.asarray(n) * jnp.asarray(m),

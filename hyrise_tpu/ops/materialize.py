@@ -66,20 +66,35 @@ def gather_table(table: Table, indices: jax.Array, count: int,
 
 
 def filter_table(table: Table, mask: jax.Array) -> Table:
-    """mask (capacity,) → compacted table. Mask is ANDed with live rows.
+    """mask (capacity,) → filtered table. Mask is ANDed with live rows.
 
-    TPU fast path: ONE multi-operand stable sort moves every column to its
-    compacted position (kernels/tpu_prims.py — nonzero + per-column gathers
-    are 1-2 orders of magnitude slower than sort on TPU). CPU keeps the
-    lazy-gather form (late materialization)."""
+    TPU fast path: a filter costs NOTHING — the output is the same columns
+    with a live MASK (Table masked layout); downstream mask-consuming
+    operators (scans, joins, aggregates) read live_mask() unchanged, and
+    only prefix-requiring operators pay a compaction (ensure_prefix). CPU
+    keeps the compact-and-lazily-gather form (late materialization)."""
     from hyrise_tpu.kernels import tpu_prims
     mask = mask & table.live_mask()
     if not tpu_prims.fast_path():
         indices, count = mask_to_indices(mask)
         return gather_table(table, indices, count)
+    from hyrise_tpu.plan.compiler import tracing
+    count_t = jnp.sum(mask)
+    count = count_t if tracing() else int(count_t)
+    return Table(table.columns, count, name=table.name, live=mask)
+
+
+def ensure_prefix(table: Table) -> Table:
+    """Materialize a masked-layout table into prefix layout (rows [0, n)
+    live): ONE multi-operand stable sort moves every column (32-bit columns
+    packed pairwise — kernels/tpu_prims.py). No-op for prefix tables."""
+    if table.live is None:
+        return table
+    from hyrise_tpu.kernels import tpu_prims
     from hyrise_tpu.plan.compiler import oracle_capacity
+    mask = table.live
     count, cap = oracle_capacity(jnp.sum(mask), bound=int(mask.shape[0]),
-                                 label="filter")
+                                 label="materialize")
     arrays, has_v = [], []
     for c in table.columns:
         arrays.append(c.data)
@@ -96,4 +111,6 @@ def filter_table(table: Table, mask: jax.Array) -> Table:
             validity = outs[i]
             i += 1
         cols.append(Column(c.name, c.dtype, data, validity, c.dictionary))
-    return Table(cols, count, name=table.name)
+    t = Table(cols, count, name=table.name)
+    t.mvcc = table.mvcc
+    return t

@@ -31,6 +31,10 @@ class Limit(AbstractOperator):
         t = self.input_table(0)
         n = (min(t.num_rows, self.n) if isinstance(t.num_rows, int)
              else jnp.minimum(t.num_rows, self.n))
+        if t.live is not None:
+            # masked layout: keep the first n live rows in the mask
+            live = t.live & (jnp.cumsum(t.live.astype(jnp.int32)) <= self.n)
+            return Table(t.columns, n, name=t.name, live=live)
         return Table(t.columns, n, name=t.name)
 
 
@@ -53,7 +57,7 @@ class Alias(AbstractOperator):
         else:
             cols = [t.column(s).with_name(n)
                     for s, n in zip(self.sources, self.names)]
-        return Table(cols, t.num_rows, name=t.name)
+        return Table(cols, t.num_rows, name=t.name, live=t.live)
 
 
 def _align_columns(a: Column, b: Column):
@@ -82,8 +86,10 @@ class UnionAll(AbstractOperator):
     name = "UnionAll"
 
     def _on_execute(self, context) -> Table:
+        from hyrise_tpu.ops.materialize import ensure_prefix
         from hyrise_tpu.plan.compiler import oracle_capacity
         lt, rt = self.input_table(0), self.input_table(1)
+        lt, rt = ensure_prefix(lt), ensure_prefix(rt)
         assert len(lt.columns) == len(rt.columns)
         n, cap = oracle_capacity(
             jnp.asarray(lt.num_rows) + jnp.asarray(rt.num_rows),

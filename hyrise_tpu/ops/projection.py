@@ -48,4 +48,5 @@ class Projection(AbstractOperator):
                 data = data.astype("int32")  # SQL exposes predicates as 0/1
             cols.append(Column(name=name, dtype=ce.dtype, data=data,
                                validity=validity, dictionary=ce.dictionary))
-        return Table(cols, table.num_rows, name=table.name)
+        return Table(cols, table.num_rows, name=table.name,
+                     live=table.live)

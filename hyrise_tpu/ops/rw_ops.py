@@ -48,7 +48,10 @@ class Validate(AbstractOperator):
         snapshot = jnp.int64(context.snapshot_commit_id)
         our_tid = jnp.int64(context.transaction_id)
         visible = (snapshot < end) & ((snapshot >= begin) != (tids == our_tid))
-        return filter_table(table, visible)
+        from hyrise_tpu.ops.materialize import ensure_prefix
+        # RW operators address rows positionally via [:num_rows] reads, so
+        # Validate always hands them a prefix-layout table
+        return ensure_prefix(filter_table(table, visible))
 
 
 class AbstractReadWriteOperator(AbstractOperator):
@@ -150,7 +153,8 @@ class Insert(AbstractReadWriteOperator):
 
     def _on_execute(self, context) -> Table:
         cat = self.catalog if self.catalog is not None else default_catalog()
-        values = self.input_table(0)
+        from hyrise_tpu.ops.materialize import ensure_prefix
+        values = ensure_prefix(self.input_table(0))
         target = cat.get_table(self.table_name)
         assert getattr(target, "mvcc", None) is not None, \
             "Insert requires an MVCC table"
@@ -195,7 +199,8 @@ class Delete(AbstractReadWriteOperator):
         target = cat.get_table(self.table_name)
         mvcc: MvccData = target.mvcc
         rows_t = self.input_table(0)
-        rows = np.asarray(rows_t.column("row_id").data[:rows_t.num_rows])
+        # mask-aware read: the selection may be in masked layout (fast path)
+        rows = np.asarray(rows_t._decode_col(rows_t.column("row_id")))
         # lock rows: CAS tids 0 -> our tid (single host thread: check+set)
         tid = int(context.transaction_id)
         current = mvcc.tids[rows]
@@ -260,6 +265,7 @@ def with_row_ids(table: Table) -> Table:
     need to address rows of the stored table."""
     ids = Column("row_id", DataType.INT32,
                  jnp.arange(table.capacity, dtype=jnp.int32), None, None)
-    out = Table(list(table.columns) + [ids], table.num_rows, name=table.name)
+    out = Table(list(table.columns) + [ids], table.num_rows, name=table.name,
+                live=table.live)
     out.mvcc = getattr(table, "mvcc", None)
     return out

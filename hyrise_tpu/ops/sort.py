@@ -54,21 +54,21 @@ class Sort(AbstractOperator):
                 flag = c.validity.astype(jnp.int8)
                 keys.append(flag if mode.nulls_first else 1 - flag)
             keys.append(_value_key(c.data, c.dtype, mode.ascending))
+        from hyrise_tpu.kernels.tpu_prims import sort_with_payloads
         payloads, has_v = [], []
         for c in table.columns:
             payloads.append(c.data)
             has_v.append(c.has_validity)
             if c.has_validity:
-                payloads.append(c.validity.astype(jnp.int8))
-        outs = jax.lax.sort(tuple(keys) + tuple(payloads),
-                            num_keys=len(keys), is_stable=True)
-        cols, i = [], len(keys)
+                payloads.append(c.validity)
+        outs = sort_with_payloads(keys, payloads, is_stable=True)
+        cols, i = [], 0
         for c, hv in zip(table.columns, has_v):
             data = outs[i]
             i += 1
             validity = None
             if hv:
-                validity = outs[i] == 1
+                validity = outs[i]
                 i += 1
             cols.append(Column(c.name, c.dtype, data, validity, c.dictionary))
         return Table(cols, table.num_rows, name=table.name)

@@ -46,7 +46,7 @@ def sort_permutation(table: Table,
                 keys.append(c.validity.astype(jnp.int32))
             else:
                 keys.append((~c.validity).astype(jnp.int32))
-    keys.append((jnp.arange(table.capacity) >= table.num_rows).astype(jnp.int32))
+    keys.append((~table.live_mask()).astype(jnp.int32))
     return jnp.lexsort(keys)
 
 

@@ -372,6 +372,9 @@ class DistributedCompiledQuery(CompiledQuery):
             out, placement = self._exec(ctx)
             if not placement.replicated:
                 out = gather_replicated(out, self.n_shards)
+            else:
+                from hyrise_tpu.ops.materialize import ensure_prefix
+                out = ensure_prefix(out)
         datas, valids, meta = [], [], []
         for c in out.columns:
             datas.append(c.data)

@@ -240,6 +240,8 @@ class CompiledQuery:
             op.clear_output()
         with _Activation(ctx):
             out = execute_plan(self.root)
+            from hyrise_tpu.ops.materialize import ensure_prefix
+            out = ensure_prefix(out)
         datas, valids, meta = [], [], []
         for c in out.columns:
             datas.append(c.data)

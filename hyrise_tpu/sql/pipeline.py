@@ -206,7 +206,7 @@ class SQLPipelineStatement:
                 if t.num_rows == 0:
                     # SQL: an empty scalar subquery evaluates to NULL
                     return ast.lit(None)
-                v = t.columns[0].decode(1)[0]
+                v = t._decode_col(t.columns[0])[0]
                 if v is not None and not isinstance(v, str):
                     v = float(v) if hasattr(v, "__float__") and \
                         not isinstance(v, (int,)) else v

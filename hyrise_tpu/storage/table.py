@@ -37,9 +37,19 @@ class Table:
     """A named collection of equally-sized columns plus a live row count.
 
     `num_rows` is host-known; all device arrays share one padded capacity.
+
+    Row layouts: by default rows [0, num_rows) are live (PREFIX layout).
+    A table may instead carry an explicit `live` boolean mask (MASKED
+    layout, kernels/tpu_prims.py rationale): filters then cost nothing —
+    no compaction sort, no gathers — and mask-consuming operators (scans,
+    joins, aggregates) run off live_mask() unchanged. Operators that truly
+    need a prefix (concatenation, cross products, host reads) call
+    materialize.ensure_prefix. This is the ReferenceColumn idea taken one
+    step further: not even a PosList, just the predicate's bitmask.
     """
 
-    def __init__(self, columns: Sequence[Column], num_rows, name: str = ""):
+    def __init__(self, columns: Sequence[Column], num_rows, name: str = "",
+                 live=None):
         assert len(columns) > 0
         caps = {c.capacity for c in columns}
         assert len(caps) == 1, f"column capacities differ: {caps}"
@@ -48,6 +58,7 @@ class Table:
         # traced device scalar; eagerly it is a host int.
         self.num_rows = (num_rows if isinstance(num_rows, jax.core.Tracer)
                          else int(num_rows))
+        self.live = live  # None = prefix layout
         self.name = name
         self.mvcc = None  # set to MvccData for transactional tables
         # Duplicate names can occur after joins (both sides kept, like the
@@ -124,11 +135,24 @@ class Table:
     def column_id(self, name: str) -> int:
         return self._by_name[name]
 
+    @property
+    def is_prefix(self) -> bool:
+        return self.live is None
+
     def live_mask(self) -> jax.Array:
-        """Bool (capacity,): True for rows < num_rows."""
+        """Bool (capacity,): the live rows (mask layout) or rows < num_rows
+        (prefix layout)."""
+        if self.live is not None:
+            return self.live
         return jnp.arange(self.capacity) < self.num_rows
 
     # -- conversion ----------------------------------------------------------
+
+    def _decode_col(self, c: Column) -> np.ndarray:
+        if self.live is None:
+            return c.decode(self.num_rows)
+        m = np.asarray(self.live)
+        return c.decode(self.capacity)[m]
 
     def to_pandas(self):
         import pandas as pd
@@ -142,13 +166,14 @@ class Table:
             while k in data:
                 k = f"{col_name}.{suffix}"
                 suffix += 1
-            data[k] = c.decode(self.num_rows)
+            data[k] = self._decode_col(c)
         return pd.DataFrame(data)
 
     def rows(self) -> List[tuple]:
         """All live rows as python tuples (tests / printing)."""
-        decoded = [c.decode(self.num_rows) for c in self.columns]
-        return [tuple(col[i] for col in decoded) for i in range(self.num_rows)]
+        decoded = [self._decode_col(c) for c in self.columns]
+        n = len(decoded[0])
+        return [tuple(col[i] for col in decoded) for i in range(n)]
 
     def __repr__(self) -> str:
         cols = ", ".join(f"{c.name}:{c.dtype.value}" for c in self.columns)
