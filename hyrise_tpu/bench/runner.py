@@ -48,11 +48,12 @@ class BenchmarkRunner:
     def _run_one(self, name: str) -> float:
         t0 = time.perf_counter()
         out = self.queries[name]()
-        # force device completion if the result is one of our tables
+        # force device completion if the result is one of our tables; ONE
+        # block suffices — all output columns come from the same program,
+        # and each block costs a ~25ms round trip on a remote TPU tunnel
         cols = getattr(out, "columns", None)
         if cols:
-            for c in cols:
-                getattr(c.data, "block_until_ready", lambda: None)()
+            getattr(cols[0].data, "block_until_ready", lambda: None)()
         return time.perf_counter() - t0
 
     def run(self) -> None:

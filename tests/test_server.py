@@ -114,3 +114,22 @@ def test_error_response_keeps_session():
         c.close()
     finally:
         srv.shutdown()
+
+
+def test_client_binary_roundtrip():
+    """bin/client.py (reference: src/bin/client.cpp libpqxx smoke client)."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "bin"))
+    from client import PgWireClient
+
+    srv, port = _start_server()
+    try:
+        c = PgWireClient(port=port, host="127.0.0.1")
+        cols, rows, notes = c.query("SELECT a FROM t ORDER BY a")
+        assert cols == ["a"]
+        assert [r[0] for r in rows] == sorted(r[0] for r in rows)
+        c.close()
+    finally:
+        srv.shutdown()
