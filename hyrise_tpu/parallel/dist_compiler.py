@@ -168,11 +168,15 @@ def gather_replicated(t: Table, n_shards: int, axis: str = SHARD_AXIS) -> Table:
 
 
 def repartition_sharded(t: Table, key_i64: jax.Array, n_shards: int,
-                        axis: str = SHARD_AXIS, label: str = "") -> Table:
+                        axis: str = SHARD_AXIS, label: str = "",
+                        live: Optional[jax.Array] = None,
+                        target: Optional[jax.Array] = None) -> Table:
     """all_to_all shuffle of the whole table by hash(key); output rows of
     equal keys are co-located. key_i64 is the promoted join key aligned with
-    the table's row axis (capacity,)."""
-    live = t.live_mask()
+    the table's row axis (capacity,). `live` restricts the shuffled row set;
+    `target` overrides hash routing (skew-aware spread)."""
+    if live is None:
+        live = t.live_mask()
     arrays = []
     v_idx = []
     for c in t.columns:
@@ -183,7 +187,7 @@ def repartition_sharded(t: Table, key_i64: jax.Array, n_shards: int,
         else:
             v_idx.append(-1)
     recv, recv_key, recv_valid = repartition_by_key(
-        tuple(arrays), key_i64, live, n_shards, axis)
+        tuple(arrays), key_i64, live, n_shards, axis, target=target)
     total = jnp.sum(recv_valid.astype(jnp.int64))
     n, cap = oracle_capacity(total, bound=int(t.capacity) * n_shards,
                              estimate=int(t.capacity),
@@ -205,11 +209,20 @@ def repartition_sharded(t: Table, key_i64: jax.Array, n_shards: int,
 
 
 def localize_by_key(t: Table, key_i64: jax.Array, n_shards: int,
-                    axis: str = SHARD_AXIS, label: str = "") -> Table:
+                    axis: str = SHARD_AXIS, label: str = "",
+                    target: Optional[jax.Array] = None,
+                    keep_also: Optional[jax.Array] = None) -> Table:
     """Replicated -> sharded-by-key: each shard keeps exactly the rows whose
-    key hashes to it (no communication — the data is already everywhere)."""
+    key hashes to it (no communication — the data is already everywhere).
+    `target` overrides hash placement (skew-aware spread); it must be
+    computed identically on every shard (replicated input ⇒ it is).
+    Rows in `keep_also` are kept on EVERY shard (hot build-side keys)."""
     me = jax.lax.axis_index(axis)
-    keep = t.live_mask() & (partition_hash(key_i64, n_shards) == me)
+    if target is None:
+        target = partition_hash(key_i64, n_shards)
+    keep = t.live_mask() & (target == me)
+    if keep_also is not None:
+        keep |= t.live_mask() & keep_also
     count = jnp.sum(keep.astype(jnp.int64))
     n, cap = oracle_capacity(
         count, bound=int(t.capacity),
@@ -224,6 +237,81 @@ def localize_by_key(t: Table, key_i64: jax.Array, n_shards: int,
 def _promoted_keys(lt: Table, rt: Table, lcol: str, rcol: str):
     lk, _, rk, _ = _join_key_arrays(lt, rt, lcol, rcol)
     return lk, rk
+
+
+# ---------------------------------------------------------------------------
+# skew-aware shuffle (parallel/skew.py wired into the compiler; successor of
+# the reference's NUMAPlacementManager hot-chunk migration,
+# numa_placement_manager.hpp:25-75)
+
+
+def _is_hot(key_i64: jax.Array, hot: jax.Array) -> jax.Array:
+    """Membership in the (small, static) hot-key list."""
+    return (key_i64[:, None] == hot[None, :].astype(jnp.int64)).any(axis=1)
+
+
+def _skew_spread_target(key_i64: jax.Array, live: jax.Array, hot: jax.Array,
+                        n_shards: int, axis: str = SHARD_AXIS,
+                        per_shard_offset: bool = True) -> jax.Array:
+    """Routing targets with hot rows spread round-robin. For sharded inputs
+    each shard's hot rows start at a shard-dependent offset so the global
+    spread stays even; for REPLICATED inputs (localize) the target must be
+    identical on every shard — pass per_shard_offset=False."""
+    is_hot = _is_hot(key_i64, hot) & live
+    rr = jnp.cumsum(is_hot.astype(jnp.int32)) - 1
+    if per_shard_offset:
+        rr = rr + jax.lax.axis_index(axis).astype(jnp.int32)
+    return jnp.where(is_hot, rr % n_shards,
+                     partition_hash(key_i64, n_shards))
+
+
+def _concat_prefix(a: Table, b: Table, label: str) -> Table:
+    """Concatenate two prefix-live tables of identical schema into one
+    prefix-live table (stable: a's rows first)."""
+    total = (jnp.asarray(a.num_rows, dtype=jnp.int64)
+             + jnp.asarray(b.num_rows, dtype=jnp.int64))
+    n, cap = oracle_capacity(total, bound=int(a.capacity) + int(b.capacity),
+                             label=label)
+    live = jnp.concatenate([a.live_mask(), b.live_mask()])
+    perm = jnp.lexsort([(~live).astype(jnp.int32)])
+    sel = perm[:cap]
+    cols = []
+    for ca, cb in zip(a.columns, b.columns):
+        data = jnp.take(jnp.concatenate([ca.data, cb.data]), sel, axis=0)
+        if ca.has_validity or cb.has_validity:
+            va = ca.validity if ca.has_validity else \
+                jnp.ones(int(a.capacity), dtype=bool)
+            vb = cb.validity if cb.has_validity else \
+                jnp.ones(int(b.capacity), dtype=bool)
+            v = jnp.take(jnp.concatenate([va, vb]), sel, axis=0)
+        else:
+            v = None
+        cols.append(Column(ca.name, ca.dtype, data, v, ca.dictionary))
+    return Table(cols, n, name=a.name)
+
+
+def repartition_build_skew(t: Table, key_i64: jax.Array, hot: jax.Array,
+                           n_shards: int, axis: str = SHARD_AXIS,
+                           label: str = "") -> Table:
+    """Build-side shuffle with hot keys REPLICATED to every shard: non-hot
+    rows take the normal hash route; hot rows are compacted locally and
+    all_gathered, so any shard a hot probe row lands on holds its matches."""
+    live = t.live_mask()
+    is_hot = _is_hot(key_i64, hot) & live
+    nonhot = repartition_sharded(t, key_i64, n_shards, axis,
+                                 label=label + ".nonhot",
+                                 live=live & ~is_hot)
+    cnt = jnp.sum(is_hot.astype(jnp.int64))
+    n_h, hcap = oracle_capacity(cnt, bound=int(t.capacity),
+                                estimate=max(int(t.capacity) // 8, 1),
+                                label=label + ".hot")
+    perm = jnp.lexsort([(~is_hot).astype(jnp.int32)])
+    sel = perm[:hcap]
+    datas = [c.data for c in t.columns]
+    valids = [c.validity if c.has_validity else None for c in t.columns]
+    hot_local = _take_cols(t, sel, n_h, datas, valids)
+    hot_all = gather_replicated(hot_local, n_shards, axis)
+    return _concat_prefix(nonhot, hot_all, label + ".merge")
 
 
 # ---------------------------------------------------------------------------
@@ -245,6 +333,8 @@ _PROBE_PRESERVING = (JoinMode.INNER, JoinMode.LEFT, JoinMode.RIGHT,
                      JoinMode.SEMI, JoinMode.ANTI)
 
 BROADCAST_MAX_ROWS = 1 << 16
+
+_NO_HOT = np.empty(0, dtype=np.int64)
 
 
 class DistributedCompiledQuery(CompiledQuery):
@@ -303,6 +393,8 @@ class DistributedCompiledQuery(CompiledQuery):
         # NEVER change the exchange structure (the oracle's site sequence
         # would shift and the learned capacities would be misaligned)
         self._decisions: Dict[int, str] = {}
+        # per-join static hot-key lists (parallel/skew.py), pinned likewise
+        self._hot_keys: Dict[int, np.ndarray] = {}
 
     # -- argument marshalling -------------------------------------------------
 
@@ -492,6 +584,54 @@ class DistributedCompiledQuery(CompiledQuery):
 
     # -- joins ----------------------------------------------------------------
 
+    def _lineage_source(self, op, col: str):
+        """Walk a join input back through row/column-preserving ops to a
+        base source; (source object, source column) or None. Used to read
+        the CONCRETE key distribution for skew detection (the traced tables
+        inside shard_map are abstract)."""
+        while True:
+            src = self._op_source.get(id(op))
+            if src is not None:
+                try:
+                    src.column(col)
+                except KeyError:
+                    return None
+                return src, col
+            if op.name in ("TableScan", "Validate"):
+                op = op.inputs[0]
+                continue
+            if op.name == "Alias" and op.sources is not None:
+                if col not in op.names:
+                    return None
+                col = op.sources[op.names.index(col)]
+                op = op.inputs[0]
+                continue
+            return None
+
+    def _detect_hot_keys(self, op: Join, pi: int) -> np.ndarray:
+        """Hot keys of the PROBE side's source distribution (heavy hitters
+        that overload one shard after an all_to_all by hash(key))."""
+        from hyrise_tpu.parallel.skew import (detect_hot_keys,
+                                              detect_hot_keys_sharded)
+        pcol = (op.left_col, op.right_col)[pi]
+        lin = self._lineage_source(op.inputs[pi], pcol)
+        if lin is None:
+            return _NO_HOT
+        src, scol = lin
+        c = src.column(scol)
+        if not c.dtype.is_integral:
+            return _NO_HOT  # promoted key space ≠ raw values for str/float
+        bcol = (op.left_col, op.right_col)[1 - pi]
+        b_in = op.inputs[1 - pi]
+        b_lin = self._lineage_source(b_in, bcol)
+        if b_lin is None or not b_lin[0].column(b_lin[1]).dtype.is_integral:
+            return _NO_HOT
+        if isinstance(src, ShardedTable):
+            hot = detect_hot_keys_sharded(src, scol)
+        else:
+            hot = detect_hot_keys(src, scol, self.n_shards)
+        return hot.astype(np.int64)
+
     def _join_decision(self, op: Join, ins) -> str:
         """Strategy for this join, PINNED at the first trace (capacity
         tightening must not change the exchange structure)."""
@@ -567,6 +707,41 @@ class DistributedCompiledQuery(CompiledQuery):
         # sides shuffle (all_to_all); replicated sides localize.
         assert decision == "shuffle", decision
         lk, rk = _promoted_keys(lt, rt, op.left_col, op.right_col)
+
+        # skew-aware routing (parallel/skew.py): hot probe keys spread
+        # round-robin, their build-side matches replicated to every shard.
+        # Pinned at first trace; OUTER is excluded (replicated unmatched
+        # build rows would be emitted once per shard).
+        hot_np = self._hot_keys.get(id(op))
+        if hot_np is None:
+            hot_np = (self._detect_hot_keys(op, pi)
+                      if mode in _PROBE_PRESERVING else _NO_HOT)
+            self._hot_keys[id(op)] = hot_np
+        if hot_np.size:
+            hot = jnp.asarray(hot_np)
+            pk, bk = (lk, rk) if pi == 0 else (rk, lk)
+            if pp.replicated:
+                pt2 = localize_by_key(
+                    pt, pk, self.n_shards, label="join.localize_p",
+                    target=_skew_spread_target(pk, pt.live_mask(), hot,
+                                               self.n_shards,
+                                               per_shard_offset=False))
+            else:  # spread even an already-co-partitioned probe side
+                pt2 = repartition_sharded(
+                    pt, pk, self.n_shards, label="join.shuffle_p",
+                    target=_skew_spread_target(pk, pt.live_mask(), hot,
+                                               self.n_shards))
+            if bp.replicated:
+                bt2 = localize_by_key(bt, bk, self.n_shards,
+                                      label="join.localize_b",
+                                      keep_also=_is_hot(bk, hot))
+            else:
+                bt2 = repartition_build_skew(bt, bk, hot, self.n_shards,
+                                             label="join.shuffle_b")
+            tables = [None, None]
+            tables[pi], tables[1 - pi] = pt2, bt2
+            return done(self._run_local(op, tables), None)
+
         if lp.replicated:
             lt2 = localize_by_key(lt, lk, self.n_shards,
                                   label="join.localize_l")

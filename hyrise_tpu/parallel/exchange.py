@@ -45,14 +45,22 @@ def partition_hash(key: jax.Array, n_shards: int) -> jax.Array:
 
 
 def repartition_by_key(arrays: Tuple[jax.Array, ...], key: jax.Array,
-                       valid: jax.Array, n_shards: int, axis: str = SHARD_AXIS):
+                       valid: jax.Array, n_shards: int, axis: str = SHARD_AXIS,
+                       target: Optional[jax.Array] = None):
     """Shuffle local rows to the shard owning hash(key).
 
     arrays: per-column 1-D local arrays (cap,), key: (cap,) int, valid: (cap,)
     Returns (recv_arrays, recv_key, recv_valid) with shape (n_shards*cap,).
+
+    `target` overrides the per-row destination (skew-aware routing: hot keys
+    spread round-robin instead of by hash — parallel/skew.py's salted split,
+    the NUMAPlacementManager-migration analogue); invalid rows are dropped
+    regardless.
     """
     cap = key.shape[0]
-    target = jnp.where(valid, partition_hash(key, n_shards), n_shards)
+    if target is None:
+        target = partition_hash(key, n_shards)
+    target = jnp.where(valid, target, n_shards)
 
     # stable sort by target clusters rows per destination
     order = jnp.lexsort([target])

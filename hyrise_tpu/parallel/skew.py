@@ -42,9 +42,34 @@ def detect_hot_keys(table: Table, key_col: str, n_shards: int,
     overload any single shard regardless of hash quality."""
     n = table.num_rows
     keys = np.asarray(table.column(key_col).data[:n])
+    return _hot_from_keys(keys, n_shards, factor)
+
+
+def _hot_from_keys(keys: np.ndarray, n_shards: int, factor: float,
+                   max_keys: int = 64) -> np.ndarray:
+    n = keys.size
     uniq, counts = np.unique(keys, return_counts=True)
     threshold = max(factor * n / max(n_shards, 1) / 16, 8)
-    return uniq[counts > threshold]
+    hot = counts > threshold
+    if hot.sum() > max_keys:  # cap the static hot list: keep the heaviest
+        order = np.argsort(-counts)
+        keep = order[:max_keys]
+        mask = np.zeros(len(uniq), dtype=bool)
+        mask[keep] = True
+        hot &= mask
+    return uniq[hot]
+
+
+def detect_hot_keys_sharded(st: ShardedTable, key_col: str,
+                            factor: float = 4.0) -> np.ndarray:
+    """Hot keys of a hash-partitioned table (host-side scan over all shards).
+    Used by the distributed plan compiler to pick skew-aware shuffle routing
+    for joins (parallel/dist_compiler.py)."""
+    counts = np.asarray(st.counts)
+    data = np.asarray(st.column(key_col).data)
+    keys = np.concatenate([data[s, :counts[s]] for s in range(len(counts))]) \
+        if len(counts) else np.empty(0, dtype=np.int64)
+    return _hot_from_keys(keys, st.n_shards, factor)
 
 
 def needs_rebalance(st: ShardedTable,
