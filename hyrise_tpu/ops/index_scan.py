@@ -24,15 +24,25 @@ class IndexScan(AbstractOperator):
     name = "IndexScan"
 
     def __init__(self, input_op: AbstractOperator, column: str,
-                 cond: PredicateCondition, value, value2=None):
+                 cond: PredicateCondition, value, value2=None,
+                 extra_equals=None):
         super().__init__(input_op)
         self.column = column
         self.cond = cond
         self.value = value
         self.value2 = value2  # for BETWEEN
+        # further (column, value) equality conjuncts served by a composite
+        # index on (column, *extra columns) — reference CompositeGroupKey
+        self.extra_equals = list(extra_equals or [])
 
     def _on_execute(self, context) -> Table:
         table = self.input_table(0)
+
+        if self.extra_equals and self.cond is PredicateCondition.EQUALS:
+            out = self._composite_scan(table)
+            if out is not None:
+                return out
+
         idx = get_index(table, self.column)
         if idx is None:
             # fallback: plain scan (reference falls back via the rule not
@@ -75,6 +85,33 @@ class IndexScan(AbstractOperator):
         out = gather_table(table, rows, count)
         self.performance_data.extra["index_range"] = (start, end)
         return out
+
+    def _composite_scan(self, table) -> "Table | None":
+        """Multi-column equality via a prefix-covering CompositeSortedIndex
+        (reference composite_group_key_index.hpp); None -> caller falls
+        back to the single-column index / TableScan path."""
+        from hyrise_tpu.storage.index import find_composite_index
+        pairs = [(self.column, self.value)] + self.extra_equals
+        cidx = find_composite_index(table, [c for c, _ in pairs])
+        if cidx is None:
+            return None
+        values = []
+        for name, val in pairs:
+            v, exists = self._encode(table.column(name), val)
+            if not exists:
+                values = None
+                break
+            values.append(v)
+        start, end = cidx.lookup_equals(values) if values else (0, 0)
+        count = max(end - start, 0)
+        cap = bucket_capacity(max(count, 1))
+        import jax.numpy as jnp
+        pos = jnp.clip(jnp.arange(cap, dtype=jnp.int32) + start, 0,
+                       cidx.perm.shape[0] - 1)
+        rows = jnp.take(cidx.perm, pos, axis=0)
+        self.performance_data.extra["index_range"] = (start, end)
+        self.performance_data.extra["composite_index"] = cidx.columns
+        return gather_table(table, rows, count)
 
     def _encode(self, c, value):
         """Returns (comparable_value, exists_in_domain)."""

@@ -186,7 +186,11 @@ class Join(AbstractOperator):
         r_live = rt.live_mask()
         probe_valid = l_live if lv is None else (l_live & lv)
         build_valid = r_live if rv is None else (r_live & rv)
-        sorted_keys, perm, n_valid = _build_side(rk, build_valid)
+        prebuilt = self._prebuilt_build(lt, rt, rk.dtype)
+        if prebuilt is not None:
+            sorted_keys, perm, n_valid = prebuilt
+        else:
+            sorted_keys, perm, n_valid = _build_side(rk, build_valid)
 
         if cond is PredicateCondition.NOT_EQUALS:
             lo1, c1 = _probe_ranges(sorted_keys, n_valid, lk, probe_valid,
@@ -197,6 +201,12 @@ class Join(AbstractOperator):
         lo, counts = _probe_ranges(sorted_keys, n_valid, lk, probe_valid, cond)
         return [(lo, counts)], perm, probe_valid
 
+    def _prebuilt_build(self, lt: Table, rt: Table, key_dtype):
+        """Hook: a pre-sorted build side (sorted_keys, perm, n_valid), or
+        None to sort now. Base Join always sorts; JoinIndex consults the
+        table's SortedIndex."""
+        return None
+
     def _on_execute(self, context) -> Table:
         mode = self.mode
         lt = self.input_table(0)
@@ -204,8 +214,9 @@ class Join(AbstractOperator):
 
         if mode is JoinMode.RIGHT:
             # RIGHT = LEFT with sides swapped (reference join_hash.cpp:55-76),
-            # output column order restored below.
-            inner = Join.__new__(Join)
+            # output column order restored below. type(self) keeps subclass
+            # hooks (JoinIndex's prebuilt build side) on the swapped probe.
+            inner = Join.__new__(type(self))
             AbstractOperator.__init__(inner)
             inner.mode = JoinMode.LEFT
             inner.left_col, inner.right_col = self.right_col, self.left_col
@@ -358,9 +369,36 @@ class JoinSortMerge(Join):
 
 
 class JoinIndex(Join):
-    """Reference JoinIndex — our sorted build side IS the index."""
+    """Reference JoinIndex (join_index.cpp: the probe side walks the build
+    chunk's index instead of building a hash table; performance data counts
+    chunks scanned with/without an index). Here the table's SortedIndex IS
+    the join's sorted build side: when the build input carries an index on
+    the join column, the build-phase sort is skipped and the index
+    permutation is probed directly."""
 
     name = "JoinIndex"
+
+    def _prebuilt_build(self, lt: Table, rt: Table, key_dtype):
+        from hyrise_tpu.storage.index import get_index
+        idx = get_index(rt, self.right_col)
+        used = False
+        result = None
+        if idx is not None:
+            lc, rc = lt.column(self.left_col), rt.column(self.right_col)
+            remapped = (rc.dtype is DataType.STRING
+                        and rc.dictionary is not lc.dictionary
+                        and not np.array_equal(lc.dictionary, rc.dictionary))
+            if not remapped:
+                # any plain dtype cast is monotone, so the index's sorted
+                # order survives promotion; dictionary-remapped string codes
+                # would not (the merged code space reorders nothing, but the
+                # sentinel code is out of the remap's domain)
+                sorted_keys = idx.sorted_values.astype(key_dtype)
+                result = (sorted_keys, idx.perm, idx.n_valid)
+                used = True
+        # reference join_index.hpp PerformanceData: chunks_scanned_with_index
+        self.performance_data.extra["index_used"] = used
+        return result
 
 
 class JoinMPSM(Join):

@@ -543,18 +543,65 @@ class IndexScanRule:
             seen.add(id(n))
             if isinstance(n, L.PredicateNode) and \
                     isinstance(n.children[0], L.StoredTableNode):
+                tname = n.children[0].table_name
+                t = catalog.get_table(tname) if catalog.has_table(tname) \
+                    else None
                 probe = self.index_predicate(n.predicate)
-                if probe is not None:
-                    tname = n.children[0].table_name
-                    if catalog.has_table(tname):
-                        t = catalog.get_table(tname)
-                        if getattr(t, "indexes", {}).get(probe[0]):
-                            n.use_index = probe
+                if t is not None and probe is not None:
+                    if getattr(t, "indexes", {}).get(probe[0]):
+                        n.use_index = probe
+            # composite: a chain of equality predicates over one stored
+            # table, covered by a CompositeGroupKey-style index prefix
+            # (reference composite_group_key/*). The bottom predicate gets
+            # the combined lookup; predicates above re-check redundantly
+            # (cheap over the already-narrowed result).
+            if isinstance(n, L.PredicateNode):
+                self._try_composite(n, catalog)
             for c in n.children:
                 visit(c)
 
         visit(root)
         return root
+
+    def _try_composite(self, n, catalog) -> None:
+        """If `n` heads a chain of EQUALS predicates over a stored table and
+        a composite index covers a >=2-column prefix of those columns, mark
+        the BOTTOM predicate with the multi-column lookup."""
+        from hyrise_tpu.storage.index import find_composite_index
+        chain = []
+        cur = n
+        while isinstance(cur, L.PredicateNode):
+            p = self.index_predicate(cur.predicate)
+            if p is None or p[1] is not PredicateCondition.EQUALS:
+                return
+            chain.append((cur, p[0], p[2]))
+            cur = cur.children[0]
+        if not isinstance(cur, L.StoredTableNode) or len(chain) < 2:
+            return
+        if not catalog.has_table(cur.table_name):
+            return
+        t = catalog.get_table(cur.table_name)
+        by_col = {col: val for _, col, val in chain}
+        # try the longest prefixes first, in any chain order
+        for key, idx in getattr(t, "indexes", {}).items():
+            if not isinstance(key, tuple):
+                continue
+            covered = []
+            for col in key:
+                if col not in by_col:
+                    break
+                covered.append(col)
+            # the bottom predicate is REPLACED by the IndexScan, so its own
+            # column must be covered; the other chain predicates stay above
+            # and re-check (redundant but correct)
+            if len(covered) >= 2 and chain[-1][1] in covered and \
+                    find_composite_index(t, covered) is not None:
+                bottom = chain[-1][0]
+                first = covered[0]
+                bottom.use_index_composite = (
+                    first, by_col[first],
+                    [(c, by_col[c]) for c in covered[1:]])
+                return
 
     @classmethod
     def index_predicate(cls, e: Expr):

@@ -99,8 +99,18 @@ def translate_lqp(node: L.LQPNode, catalog=None,
     elif isinstance(node, L.StaticTableNode):
         op = TableWrapper(node.table)
     elif isinstance(node, L.PredicateNode):
+        use_composite = getattr(node, "use_index_composite", None)
         use_index = getattr(node, "use_index", None)
-        if use_index is not None:
+        if use_composite is not None:
+            from hyrise_tpu.ops.index_scan import IndexScan
+            stored = node.children[0]
+            column, value, extra = use_composite
+            op = IndexScan(GetTable(stored.table_name, catalog), column,
+                           PredicateCondition.EQUALS, value,
+                           extra_equals=extra)
+            if stored.pruned_columns is not None:
+                op = Projection(op, list(stored.pruned_columns))
+        elif use_index is not None:
             # IndexScanRule marked this scan (optimizer.py); go through the
             # raw GetTable so the index registered on the base Table applies,
             # re-applying any column pruning on top.
