@@ -45,6 +45,11 @@ from hyrise_tpu.types import bucket_capacity
 
 _ACTIVE: Optional["CompileContext"] = None
 
+# Pre-learned capacity vectors keyed by SQL text (the fixpoint depends on
+# the data, not the device — learn on CPU, seed remote-TPU runs so each
+# query compiles exactly once; see scripts/tpch_bench.py --cap-cache).
+CAP_SEEDS: Dict[str, List[int]] = {}
+
 
 def active() -> Optional["CompileContext"]:
     return _ACTIVE

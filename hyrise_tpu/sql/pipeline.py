@@ -341,12 +341,15 @@ class SQLPipelineStatement:
             except PlanNotCompilable:
                 _clear_plan_outputs(plan)
         if self.use_compiled and not needs_tx:
-            from hyrise_tpu.plan.compiler import (CompiledQuery,
+            from hyrise_tpu.plan.compiler import (CAP_SEEDS, CompiledQuery,
                                                   PlanNotCompilable)
             try:
                 cq = getattr(plan, "_compiled_query", None)
                 if cq is None:
                     cq = CompiledQuery(plan, self.catalog)
+                    seed = CAP_SEEDS.get(self.sql_text)
+                    if seed:  # pre-learned capacity vector (e.g. on CPU):
+                        cq.caps[:] = seed  # one device compile, no retraces
                     plan._compiled_query = cq
                 return cq.run()
             except PlanNotCompilable:

@@ -77,11 +77,36 @@ def main():
         from hyrise_tpu.sql.pipeline import SQLPipelineBuilder
         from hyrise_tpu.tpch.queries import TPCH_SQL
 
+        from hyrise_tpu.plan.compiler import CAP_SEEDS
+
+        cap_cache = {}
+        if args.cap_cache and os.path.exists(args.cap_cache):
+            with open(args.cap_cache) as f:
+                cap_cache = {int(k): v for k, v in json.load(f).items()}
+            for qid, caps in cap_cache.items():
+                CAP_SEEDS[TPCH_SQL[qid]] = [int(c) for c in caps]
+            print(f"seeded capacities for {sorted(cap_cache)} from "
+                  f"{args.cap_cache}", file=sys.stderr)
+        pipelines = {}
+
         def make_query(qid):
             def run():
-                return (SQLPipelineBuilder(TPCH_SQL[qid]).with_catalog(cat)
-                        .with_compiled_execution()
-                        .create_pipeline().get_result_table())
+                pl = pipelines.get(qid)
+                if pl is None:
+                    pl = (SQLPipelineBuilder(TPCH_SQL[qid]).with_catalog(cat)
+                          .with_compiled_execution().create_pipeline())
+                    pipelines[qid] = pl
+                res = pl.get_result_table()
+                if args.cap_cache:  # harvest the learned capacity vector
+                    for ps in pl.pipeline_statements:
+                        plan = getattr(ps, "last_plan", None)
+                        cq = getattr(plan, "_compiled_query", None) \
+                            if plan is not None else None
+                        if cq is not None and cq.caps:
+                            cap_cache[qid] = list(cq.caps)
+                    with open(args.cap_cache, "w") as f:
+                        json.dump(cap_cache, f)
+                return res
             return run
     elif args.via == "compiled":
         from hyrise_tpu.plan.compiler import CompiledQuery
