@@ -151,8 +151,25 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     import jax
+    import jax.numpy as jnp
 
     from hyrise_tpu.plan.compiler import CompiledQuery
+
+    # transport floor: each run() costs one device->host read (~25ms on the
+    # axon tunnel). Measure a salted null program and report both raw and
+    # RTT-adjusted times — the adjusted number is the device-side cost.
+    @jax.jit
+    def _null(s):
+        return s + 1
+
+    float(_null(jnp.int32(0)))
+    null_times = []
+    for i in range(max(args.runs, 7)):
+        t0 = time.perf_counter()
+        float(_null(jnp.int32(i)))  # salted: no transport result-cache
+        null_times.append(time.perf_counter() - t0)
+    null_ms = float(np.median(null_times) * 1e3)
+    print(f"null round trip: {null_ms:.3f}ms", file=sys.stderr)
 
     peak = _hbm_peak()
     results = []
@@ -166,20 +183,22 @@ def main():
             out = cq.run()
             times.append(time.perf_counter() - t0)
         med = float(np.median(times))
+        adj = max(med - null_ms / 1e3, 1e-6)  # device-side cost
         entry = {
             "name": name,
             "real_time_ms": med * 1e3,
+            "adjusted_ms": adj * 1e3,
             "iterations": len(times),
-            "rows_per_second": drive_rows / med,
+            "rows_per_second": drive_rows / adj,
             "bytes_touched": touched,
-            "effective_gbps": touched / med / 1e9,
+            "effective_gbps": touched / adj / 1e9,
         }
         if peak:
             entry["pct_hbm_roofline"] = 100.0 * entry["effective_gbps"] / peak
         results.append(entry)
-        print(f"{name:22s} {med * 1e3:9.3f}ms  "
-              f"{drive_rows / med / 1e9:7.3f}B rows/s  "
-              f"{touched / med / 1e9:7.1f}GB/s", file=sys.stderr)
+        print(f"{name:22s} {med * 1e3:9.3f}ms ({adj * 1e3:8.3f}ms adj)  "
+              f"{drive_rows / adj / 1e9:7.3f}B rows/s  "
+              f"{touched / adj / 1e9:7.1f}GB/s", file=sys.stderr)
 
     results += bench_sql_frontend(args.runs)
     report = {
@@ -187,6 +206,7 @@ def main():
             "devices": [str(d) for d in jax.devices()],
             "rows": args.rows,
             "hbm_peak_gbps": peak,
+            "null_roundtrip_ms": null_ms,
             "date": time.strftime("%Y-%m-%d %H:%M:%S"),
         },
         "benchmarks": results,
