@@ -178,6 +178,71 @@ def compact(mask: jax.Array, arrays: Sequence[jax.Array],
 
 
 # ---------------------------------------------------------------------------
+# gather (jnp.take replacement — the join-materialization hot path)
+
+
+def gather_columns_via_sort(sources: Sequence[jax.Array],
+                            indices: jax.Array) -> List[jax.Array]:
+    """out[j][i] = sources[j][indices[i]] for every source column (all
+    share `indices`), with NO XLA gather: merge-sort + forward-fill +
+    back-sort.
+
+    XLA's gather lowering serializes (~20 ms per 1M-row column on v5e,
+    module docstring) while sorts run near roofline, so the k-column
+    materialization of a join output is reformulated as:
+
+      1. ONE sort of the merged (source positions, query indices) keys —
+         packed (key<<1 | is_query) int64 so source row k lands
+         immediately before the queries asking for k; all k source
+         columns ride as pairwise-packed payload lanes (zeros for query
+         rows).
+      2. A forward fill (associative scan) propagating each source row's
+         payload onto the query rows behind it.
+      3. ONE back-sort by query id restoring request order (source rows
+         carry qid = M and fall off the tail).
+
+    Cost is ~2 sorts + 1 scan of (N+M) rows TOTAL for all k columns,
+    vs k serialized gathers. Requires indices in [0, N); callers keep
+    dead-row indices at 0 (in range) per the capacity-bucket convention.
+    """
+    if not fast_path():
+        return [jnp.take(s, indices, axis=0) for s in sources]
+    n = int(sources[0].shape[0])
+    m = int(indices.shape[0])
+    pk = jnp.concatenate([
+        jnp.arange(n, dtype=jnp.int64) << 1,
+        (indices.astype(jnp.int64) << 1) | jnp.int64(1)])
+    qid = jnp.concatenate([jnp.full((n,), m, dtype=jnp.int32),
+                           jnp.arange(m, dtype=jnp.int32)])
+    payloads = [jnp.concatenate([s, jnp.zeros((m,), dtype=s.dtype)])
+                for s in sources]
+    packed, recipe = _pack_payloads(payloads)
+    outs = jax.lax.sort((pk, qid) + tuple(packed), num_keys=1,
+                        is_stable=False)
+    spk, sqid, slanes = outs[0], outs[1], outs[2:]
+    is_source = (spk & jnp.int64(1)) == 0
+
+    def combine(a, b):
+        av, al = a[0], a[1:]
+        bv, bl = b[0], b[1:]
+        return (av | bv,) + tuple(
+            jnp.where(bv, bx, ax) for ax, bx in zip(al, bl))
+
+    filled = jax.lax.associative_scan(combine, (is_source,) + tuple(slanes))
+    back = jax.lax.sort((sqid,) + tuple(filled[1:]), num_keys=1,
+                        is_stable=False)
+    lanes_m = [jax.lax.slice_in_dim(o, 0, m) for o in back[1:]]
+    return _unpack_payloads(lanes_m, recipe)
+
+
+def take_1d(a: jax.Array, indices: jax.Array) -> jax.Array:
+    """Single-column a[indices]; sort-formulated on the TPU fast path."""
+    if not fast_path():
+        return jnp.take(a, indices, axis=0)
+    return gather_columns_via_sort([a], indices)[0]
+
+
+# ---------------------------------------------------------------------------
 # sorted probe (searchsorted replacement)
 
 

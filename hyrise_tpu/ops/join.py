@@ -137,32 +137,17 @@ def _expand_pairs(lo, counts, build_perm, out_cap):
             - jnp.repeat(offsets, counts, total_repeat_length=out_cap))
     pos = jnp.repeat(lo, counts, total_repeat_length=out_cap) + rank
     pos = jnp.clip(pos, 0, build_perm.shape[0] - 1)
-    build_out = jnp.take(build_perm, pos, axis=0).astype(jnp.int32)
+    from hyrise_tpu.kernels.tpu_prims import take_1d
+    build_out = take_1d(build_perm, pos).astype(jnp.int32)
     return probe_out, build_out
 
 
 def _gather_columns(table: Table, indices: jax.Array,
                     extra_valid: Optional[jax.Array]) -> List[Column]:
-    """Gather columns at indices — LAZILY (late materialization): only
-    columns read downstream pay their gather. extra_valid (aligned with
-    indices) marks rows that must become NULL (outer-join padding)."""
-    from hyrise_tpu.utils.asserts import assert_indices_in_range
-    assert_indices_in_range(indices, table.capacity, "join.gather_columns")
-    cap = int(indices.shape[0])
-    cols = []
-    for c in table.columns:
-        data = (lambda col=c: jnp.take(col.data, indices, axis=0))
-        if c.has_validity:
-            if extra_valid is not None:
-                v = (lambda col=c:
-                     jnp.take(col.validity, indices, axis=0) & extra_valid)
-            else:
-                v = (lambda col=c: jnp.take(col.validity, indices, axis=0))
-        else:
-            v = extra_valid
-        cols.append(Column(c.name, c.dtype, data, v, c.dictionary,
-                           capacity_hint=cap))
-    return cols
+    """Gather columns at indices — late materialization with per-site
+    batched sort-gather under plan compilation (materialize.py)."""
+    from hyrise_tpu.ops.materialize import gather_columns_at
+    return gather_columns_at(table, indices, extra_valid)
 
 
 class Join(AbstractOperator):
@@ -491,10 +476,11 @@ class JoinNestedLoop(AbstractOperator):
             total, bound=int(sum(k.shape[0] for k in keeps)),
             label="join_nl.final")
         keep = jnp.concatenate(keeps)
-        out_sel = jnp.nonzero(keep, size=out_cap, fill_value=0)[0]
-        probe_idx = jnp.take(jnp.concatenate(probe_parts), out_sel, axis=0)
-        build_idx = jnp.take(jnp.concatenate(build_parts), out_sel, axis=0)
-        flags = jnp.take(jnp.concatenate(flags_parts), out_sel, axis=0)
+        from hyrise_tpu.kernels.tpu_prims import compact
+        probe_idx, build_idx, flags = compact(
+            keep, [jnp.concatenate(probe_parts),
+                   jnp.concatenate(build_parts),
+                   jnp.concatenate(flags_parts)], out_cap)
 
         probe_ok = flags != 2   # 2 = left side NULL-padded
         build_ok = flags != 0   # 0 = right side NULL-padded

@@ -40,28 +40,100 @@ def _take(a, indices):
     return jnp.take(a, indices, axis=0)
 
 
-def gather_table(table: Table, indices: jax.Array, count: int,
-                 name: Optional[str] = None, lazy: bool = True) -> Table:
-    """table[indices[:count]] as a new table.
+def _recording(ctx, site: int, tag: str, fn):
+    """Lazy thunk that tells the compile context which columns a gather
+    site actually materializes (the consumed set drives batching on the
+    next trace)."""
+    if ctx is None:
+        return fn
 
-    By default the per-column gathers are LAZY (late materialization, the
-    ReferenceColumn idea): each output column holds a thunk and only columns
-    actually read downstream pay the gather — the dominant cost in wide
-    multi-join plans."""
+    def thunk():
+        ctx.record_gather(site, tag)
+        return fn()
+
+    return thunk
+
+
+def gather_columns_at(table: Table, indices: jax.Array,
+                      extra_valid: Optional[jax.Array] = None) -> list:
+    """Columns of table[indices] — the shared join/materialization gather.
+
+    Late materialization (the ReferenceColumn idea, reference
+    src/lib/storage/reference_column.hpp:19-51): each output column holds a
+    lazy thunk; only columns read downstream pay their gather. Under plan
+    compilation, the set of columns a site actually materializes is
+    recorded on the first trace; subsequent traces gather the whole set in
+    ONE sort-based multi-column pass (tpu_prims.gather_columns_via_sort) —
+    XLA's per-column gathers serialize (~20 ms / 1M rows on v5e) while one
+    multi-payload sort moves every column near roofline.
+
+    extra_valid (aligned with indices) marks rows forced NULL (outer-join
+    padding)."""
+    from hyrise_tpu.kernels import tpu_prims
+    from hyrise_tpu.plan.compiler import active
     from hyrise_tpu.utils.asserts import assert_indices_in_range
-    assert_indices_in_range(indices, table.capacity, "gather_table.indices")
+
+    assert_indices_in_range(indices, table.capacity, "gather.indices")
     cap = int(indices.shape[0])
+    ctx = active()
+    site = ctx.gather_site() if ctx is not None else None
+    known = ctx.gather_known(site) if ctx is not None else None
+    got = {}
+    import os
+    batch_on = os.environ.get("HYRISE_TPU_BATCH_GATHER", "1") not in (
+        "0", "false", "no")
+    if known and batch_on and tpu_prims.fast_path():
+        arrays, tags = [], []
+        for c in table.columns:
+            dtag, vtag = c.name + ":d", c.name + ":v"
+            if dtag in known:
+                arrays.append(c.data)
+                tags.append(dtag)
+            if c.has_validity and vtag in known:
+                arrays.append(c.validity)
+                tags.append(vtag)
+        if arrays:
+            outs = tpu_prims.gather_columns_via_sort(arrays, indices)
+            got = dict(zip(tags, outs))
     cols = []
     for c in table.columns:
-        if lazy:
-            data = (lambda col=c: _take(col.data, indices))
-            validity = ((lambda col=c: _take(col.validity, indices))
-                        if c.has_validity else None)
+        dtag, vtag = c.name + ":d", c.name + ":v"
+        if dtag in got:
+            data = got[dtag]
         else:
-            data = _take(c.data, indices)
-            validity = _take(c.validity, indices) if c.has_validity else None
-        cols.append(Column(c.name, c.dtype, data, validity, c.dictionary,
+            data = _recording(ctx, site, dtag,
+                              lambda col=c: _take(col.data, indices))
+        if c.has_validity:
+            if vtag in got:
+                v = (got[vtag] & extra_valid if extra_valid is not None
+                     else got[vtag])
+            elif extra_valid is not None:
+                v = _recording(ctx, site, vtag,
+                               lambda col=c: _take(col.validity, indices)
+                               & extra_valid)
+            else:
+                v = _recording(ctx, site, vtag,
+                               lambda col=c: _take(col.validity, indices))
+        else:
+            v = extra_valid
+        cols.append(Column(c.name, c.dtype, data, v, c.dictionary,
                            capacity_hint=cap))
+    return cols
+
+
+def gather_table(table: Table, indices: jax.Array, count: int,
+                 name: Optional[str] = None, lazy: bool = True) -> Table:
+    """table[indices[:count]] as a new table (see gather_columns_at)."""
+    if lazy:
+        cols = gather_columns_at(table, indices)
+    else:
+        from hyrise_tpu.utils.asserts import assert_indices_in_range
+        assert_indices_in_range(indices, table.capacity,
+                                "gather_table.indices")
+        cols = [Column(c.name, c.dtype, _take(c.data, indices),
+                       _take(c.validity, indices) if c.has_validity else None,
+                       c.dictionary)
+                for c in table.columns]
     return Table(cols, count, name=name if name is not None else table.name)
 
 

@@ -384,7 +384,9 @@ class DistributedCompiledQuery(CompiledQuery):
         if not self._sources:
             raise PlanNotCompilable("no base tables")
         self.caps: List[int] = []
-        self._jit_cache: Dict[Tuple[int, ...], object] = {}
+        self.gather_used: List[set] = []
+        self._gather_known_upto = 0
+        self._jit_cache: Dict[Tuple, object] = {}
         self._out_meta: Optional[List[_ColMeta]] = None
         self._labels: List[str] = []
         self.last_retries = 0
@@ -456,7 +458,7 @@ class DistributedCompiledQuery(CompiledQuery):
     # -- tracing --------------------------------------------------------------
 
     def _traced_fn(self, flat_args, salt, caps: List[int]):
-        ctx = CompileContext(caps)
+        ctx = CompileContext(caps, self.gather_used, self._gather_known_upto)
         self._rebuild_tables(flat_args, ctx)
         for op in self.ops:
             op.clear_output()
@@ -481,7 +483,7 @@ class DistributedCompiledQuery(CompiledQuery):
         return tuple(datas), tuple(valids), counts[None, :], salt
 
     def _get_jitted(self):
-        key = tuple(self.caps)
+        key = (tuple(self.caps), self._gather_sig())
         entry = self._jit_cache.get(key)
         if entry is None:
             caps_list = list(self.caps)

@@ -45,10 +45,13 @@ from hyrise_tpu.types import bucket_capacity
 
 _ACTIVE: Optional["CompileContext"] = None
 
-# Pre-learned capacity vectors keyed by SQL text (the fixpoint depends on
-# the data, not the device — learn on CPU, seed remote-TPU runs so each
-# query compiles exactly once; see scripts/tpch_bench.py --cap-cache).
+# Pre-learned capacity vectors / gather-site consumed-column sets keyed by
+# SQL text (the fixpoint depends on the data, not the device — learn on CPU
+# with HYRISE_TPU_FASTPATH=1 so the site sequences match the TPU, then seed
+# remote-TPU runs so each query compiles exactly once; see
+# scripts/tpch_bench.py --cap-cache).
 CAP_SEEDS: Dict[str, List[int]] = {}
+GATHER_SEEDS: Dict[str, List[List[str]]] = {}
 
 
 def active() -> Optional["CompileContext"]:
@@ -57,15 +60,47 @@ def active() -> Optional["CompileContext"]:
 
 class CompileContext:
     """Per-trace state: speculative capacities (by call-site sequence number)
-    and the traced actual counts."""
+    and the traced actual counts.
 
-    def __init__(self, caps: List[int]):
+    Gather sites (the join/materialization column gathers) are tracked the
+    same way: by call-site sequence number. A site's CONSUMED column set is
+    recorded by the lazy column thunks as they fire during the trace; on the
+    next trace the set is complete ("known") and the site gathers those
+    columns together in ONE sort-based multi-column gather
+    (kernels/tpu_prims.gather_columns_via_sort) instead of one serialized
+    XLA gather per column. Like capacities, the sets depend on the plan and
+    data, not the device — learn them on CPU, seed remote-TPU runs.
+    """
+
+    def __init__(self, caps: List[int], gather_used: Optional[List[set]] = None,
+                 gather_known_upto: int = 0):
         self.caps = caps          # shared, persistent across retraces
         self.site = 0
         self.counts: List[jax.Array] = []
         self.bounds: List[Optional[int]] = []
         self.labels: List[str] = []
         self.table_subst: Dict[int, object] = {}  # id(source Table) -> traced
+        # shared, persistent across retraces (like caps)
+        self.gather_used = gather_used if gather_used is not None else []
+        self.gather_known_upto = gather_known_upto
+        self.gather_seq = 0
+
+    def gather_site(self) -> int:
+        i = self.gather_seq
+        self.gather_seq += 1
+        while len(self.gather_used) <= i:
+            self.gather_used.append(set())
+        return i
+
+    def gather_known(self, site: int) -> Optional[set]:
+        """The consumed-column tag set for this site, or None if this site
+        has not yet lived through a complete trace."""
+        if site < self.gather_known_upto:
+            return self.gather_used[site]
+        return None
+
+    def record_gather(self, site: int, tag: str) -> None:
+        self.gather_used[site].add(tag)
 
     def capacity(self, count, bound: Optional[int], estimate: Optional[int],
                  label: str) -> int:
@@ -202,11 +237,26 @@ class CompiledQuery:
         if not self._sources:
             raise PlanNotCompilable("no base tables")
         self.caps: List[int] = []
-        self._jit_cache: Dict[Tuple[int, ...], object] = {}
+        self.gather_used: List[set] = []
+        self._gather_known_upto = 0
+        self._jit_cache: Dict[Tuple, object] = {}
         self._out_meta: Optional[List[_ColMeta]] = None
         self._labels: List[str] = []
         self.last_retries = 0
         self._salt = 0
+
+    def seed_gathers(self, sets: Sequence[Sequence[str]]) -> None:
+        """Pre-learned consumed-column sets per gather site (from a CPU run
+        with the same HYRISE_TPU_FASTPATH setting as the target device):
+        the first trace then batches gathers immediately — no learning
+        retrace."""
+        self.gather_used = [set(s) for s in sets]
+        self._gather_known_upto = len(self.gather_used)
+
+    def _gather_sig(self) -> Tuple:
+        return (self._gather_known_upto,
+                tuple(tuple(sorted(s))
+                      for s in self.gather_used[:self._gather_known_upto]))
 
     # -- argument marshalling -------------------------------------------------
 
@@ -239,7 +289,7 @@ class CompiledQuery:
     def _traced_fn(self, flat_args, salt, caps: List[int]):
         from hyrise_tpu.ops.base import execute_plan
 
-        ctx = CompileContext(caps)
+        ctx = CompileContext(caps, self.gather_used, self._gather_known_upto)
         self._rebuild_tables(flat_args, ctx)
         for op in self.ops:
             op.clear_output()
@@ -266,7 +316,7 @@ class CompiledQuery:
         return tuple(datas), tuple(valids), counts, salt
 
     def _get_jitted(self):
-        key = tuple(self.caps)
+        key = (tuple(self.caps), self._gather_sig())
         entry = self._jit_cache.get(key)
         if entry is None:
             # Each capacity assignment needs its OWN function identity:
@@ -293,12 +343,16 @@ class CompiledQuery:
         self.last_retries = 0
         for _ in range(self.MAX_RETRIES):
             fn, caps_list = self._get_jitted()
+            sig_at_build = self._gather_sig()
             self._salt += 1
             datas, valids, counts, _ = fn(flat, jnp.int32(self._salt))
             # the first trace appends capacities for newly-seen sites;
             # adopt them and register the entry under the full vector too
             self.caps = list(caps_list)
-            self._jit_cache[tuple(self.caps)] = (fn, caps_list)
+            self._jit_cache[(tuple(self.caps), sig_at_build)] = (fn, caps_list)
+            # the trace is complete, so every gather site's consumed-column
+            # set is now fully recorded: later (re)traces batch them
+            self._gather_known_upto = len(self.gather_used)
             counts_all = self._counts_host(counts)  # [...sites, n_rows]
             counts_h, n = counts_all[:-1], int(counts_all[-1])
             overflow = [i for i, c in enumerate(counts_h)

@@ -341,7 +341,8 @@ class SQLPipelineStatement:
             except PlanNotCompilable:
                 _clear_plan_outputs(plan)
         if self.use_compiled and not needs_tx:
-            from hyrise_tpu.plan.compiler import (CAP_SEEDS, CompiledQuery,
+            from hyrise_tpu.plan.compiler import (CAP_SEEDS, GATHER_SEEDS,
+                                                  CompiledQuery,
                                                   PlanNotCompilable)
             try:
                 cq = getattr(plan, "_compiled_query", None)
@@ -350,6 +351,9 @@ class SQLPipelineStatement:
                     seed = CAP_SEEDS.get(self.sql_text)
                     if seed:  # pre-learned capacity vector (e.g. on CPU):
                         cq.caps[:] = seed  # one device compile, no retraces
+                    gseed = GATHER_SEEDS.get(self.sql_text)
+                    if gseed:  # pre-learned gather consumed-column sets
+                        cq.seed_gathers(gseed)
                     plan._compiled_query = cq
                 return cq.run()
             except PlanNotCompilable:

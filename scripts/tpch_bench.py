@@ -77,14 +77,19 @@ def main():
         from hyrise_tpu.sql.pipeline import SQLPipelineBuilder
         from hyrise_tpu.tpch.queries import TPCH_SQL
 
-        from hyrise_tpu.plan.compiler import CAP_SEEDS
+        from hyrise_tpu.plan.compiler import CAP_SEEDS, GATHER_SEEDS
 
         cap_cache = {}
         if args.cap_cache and os.path.exists(args.cap_cache):
             with open(args.cap_cache) as f:
                 cap_cache = {int(k): v for k, v in json.load(f).items()}
-            for qid, caps in cap_cache.items():
-                CAP_SEEDS[TPCH_SQL[qid]] = [int(c) for c in caps]
+            for qid, seed in cap_cache.items():
+                if isinstance(seed, dict):  # v2: caps + gather sets
+                    CAP_SEEDS[TPCH_SQL[qid]] = [int(c)
+                                                for c in seed.get("caps", [])]
+                    GATHER_SEEDS[TPCH_SQL[qid]] = seed.get("gathers", [])
+                else:
+                    CAP_SEEDS[TPCH_SQL[qid]] = [int(c) for c in seed]
             print(f"seeded capacities for {sorted(cap_cache)} from "
                   f"{args.cap_cache}", file=sys.stderr)
         pipelines = {}
@@ -97,13 +102,16 @@ def main():
                           .with_compiled_execution().create_pipeline())
                     pipelines[qid] = pl
                 res = pl.get_result_table()
-                if args.cap_cache:  # harvest the learned capacity vector
+                if args.cap_cache:  # harvest learned capacities + gathers
                     for ps in pl.pipeline_statements:
                         plan = getattr(ps, "last_plan", None)
                         cq = getattr(plan, "_compiled_query", None) \
                             if plan is not None else None
                         if cq is not None and cq.caps:
-                            cap_cache[qid] = list(cq.caps)
+                            cap_cache[qid] = {
+                                "caps": list(cq.caps),
+                                "gathers": [sorted(s)
+                                            for s in cq.gather_used]}
                     with open(args.cap_cache, "w") as f:
                         json.dump(cap_cache, f)
                 return res
@@ -124,22 +132,30 @@ def main():
                 cq = cqs.get(qid)
                 if cq is None:
                     cq = CompiledQuery(TPCH_PLANS[qid](cat), cat)
-                    if qid in cap_cache:
-                        cq.caps[:] = [int(c) for c in cap_cache[qid]]
+                    seed = cap_cache.get(qid)
+                    if isinstance(seed, dict):  # v2: caps + gather sets
+                        cq.caps[:] = [int(c) for c in seed.get("caps", [])]
+                        cq.seed_gathers(seed.get("gathers", []))
+                    elif seed:
+                        cq.caps[:] = [int(c) for c in seed]
                     cqs[qid] = cq
-                    # warm to the capacity fixpoint so the TIMED runs never
-                    # retrace (tightening changes the program); the warmup
-                    # run the harness performs then hits the jit cache.
-                    # With seeded capacities this reaches the fixpoint on
-                    # the first pass -> ONE compile per query.
+                    # warm to the capacity/gather fixpoint so the TIMED runs
+                    # never retrace (tightening or gather-set learning
+                    # changes the program); the warmup run the harness
+                    # performs then hits the jit cache. With seeded caches
+                    # this reaches the fixpoint on the first pass -> ONE
+                    # compile per query.
                     prev = None
                     for _ in range(6):
                         cq.run()
-                        if prev == tuple(cq.caps):
+                        state = (tuple(cq.caps), cq._gather_sig())
+                        if prev == state:
                             break
-                        prev = tuple(cq.caps)
+                        prev = state
                     if args.cap_cache:
-                        cap_cache[qid] = list(cq.caps)
+                        cap_cache[qid] = {
+                            "caps": list(cq.caps),
+                            "gathers": [sorted(s) for s in cq.gather_used]}
                         with open(args.cap_cache, "w") as f:
                             json.dump(cap_cache, f)
                 return cq.run()
