@@ -27,7 +27,8 @@ from hyrise_tpu.expression import ast
 from hyrise_tpu.plan import lqp as L
 from hyrise_tpu.plan.optimizer import _output_columns
 from hyrise_tpu.plan.statistics import (TableStatistics,
-                                        estimate_predicate_selectivity)
+                                        estimate_predicate_selectivity,
+                                        merge_statistics)
 from hyrise_tpu.types import JoinMode, PredicateCondition
 
 
@@ -41,6 +42,7 @@ class _Relation:
 class JoinOrderingRule:
     def __init__(self, stats: Optional[Dict[str, TableStatistics]] = None):
         self.stats = stats or {}
+        self._merged = merge_statistics(self.stats)
 
     # -- statistics helpers --------------------------------------------------
 
@@ -71,7 +73,8 @@ class JoinOrderingRule:
             leaf = node
             while leaf.children:
                 leaf = leaf.children[0]
-            ts = self.stats.get(getattr(leaf, "table_name", None))
+            ts = self.stats.get(getattr(leaf, "table_name", None)) \
+                or self._merged
             sel = estimate_predicate_selectivity(ts, node.predicate)
             return max(self._estimate_rows(node.children[0], catalog) * sel,
                        1.0)
@@ -156,7 +159,8 @@ class JoinOrderingRule:
                     if set(p.columns()) <= rel.columns:
                         rel.node = L.PredicateNode(p, rel.node)
                         rel.rows = max(
-                            rel.rows * estimate_predicate_selectivity(None, p),
+                            rel.rows * estimate_predicate_selectivity(
+                                self._merged, p),
                             1.0)
                         # identity-based removal: Expr overloads __eq__ to
                         # BUILD comparison nodes, so list.remove() would

@@ -390,7 +390,12 @@ class PredicateReorderingRule:
         while node.children:
             node = node.children[0]
         if isinstance(node, L.StoredTableNode):
-            return self.stats.get(node.table_name)
+            ts = self.stats.get(node.table_name)
+            if ts is not None:
+                return ts
+        if self.stats:  # column-name union across tables (unique prefixes)
+            from hyrise_tpu.plan.statistics import merge_statistics
+            return merge_statistics(self.stats)
         return None
 
     def apply(self, root: L.LQPNode, catalog) -> L.LQPNode:

@@ -70,3 +70,50 @@ def test_cache_policies():
     c.get("a")
     c.put("c", 3)
     assert c.get("b") is None and c.get("a") == 1
+
+
+def test_value_aware_selectivity():
+    """Range predicates against literals interpolate min/max (numerics) or
+    dictionary-rank quantiles (strings) instead of the 1/3 magic constant
+    (reference: column_statistics.cpp estimate_range_selectivity)."""
+    from hyrise_tpu.expression import ast
+    from hyrise_tpu.plan.statistics import estimate_predicate_selectivity
+
+    dates = np.array([f"1995-{m:02d}-01" for m in range(1, 13)])
+    t = Table.from_pandas("t", pd.DataFrame({
+        "v": np.arange(1000, dtype=np.int32),
+        "d": dates[np.arange(1000) % 12],
+    }))
+    stats = generate_table_statistics(t)
+
+    # numeric: v < 100 over [0, 999] ~ 10%
+    sel = estimate_predicate_selectivity(stats, col("v") < lit(100))
+    assert 0.05 < sel < 0.15
+    # flipped literal side: 100 > v is the same predicate
+    sel2 = estimate_predicate_selectivity(stats, lit(100) > col("v"))
+    assert abs(sel2 - sel) < 1e-9
+    # numeric BETWEEN: [250, 500) ~ 25%
+    selb = estimate_predicate_selectivity(
+        stats, ast.Between(col("v"), lit(250), lit(500)))
+    assert 0.15 < selb < 0.35
+    # string (dictionary ranks): d < '1995-07-01' ~ half the dictionary
+    sels = estimate_predicate_selectivity(stats, col("d") < lit("1995-07-01"))
+    assert 0.3 < sels < 0.7
+    # string far below the range -> near zero
+    sel0 = estimate_predicate_selectivity(stats, col("d") < lit("1990-01-01"))
+    assert sel0 <= 0.01
+
+
+def test_statistics_json_roundtrip_quantiles(tmp_path):
+    from hyrise_tpu.plan.statistics import (export_table_statistics,
+                                            import_table_statistics)
+
+    t = Table.from_pandas("t", pd.DataFrame({
+        "s": np.array(["a", "b", "c", "d"] * 5)}))
+    stats = generate_table_statistics(t)
+    p = str(tmp_path / "stats.json")
+    export_table_statistics(stats, p)
+    back = import_table_statistics(p)
+    assert back.columns["s"].quantiles == stats.columns["s"].quantiles
+    assert back.columns["s"].fraction_below("c") == \
+        stats.columns["s"].fraction_below("c")
