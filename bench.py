@@ -27,6 +27,11 @@ def main():
     import jax.numpy as jnp
     import numpy as np
 
+    from hyrise_tpu.utils.jit_cache import enable_persistent_cache
+    cache_dir = enable_persistent_cache()
+    if cache_dir:
+        log(f"persistent XLA cache: {cache_dir}")
+
     log(f"devices: {jax.devices()}")
 
     t0 = time.time()

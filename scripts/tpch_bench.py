@@ -48,6 +48,11 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
 
+    from hyrise_tpu.utils.jit_cache import enable_persistent_cache
+    cache_dir = enable_persistent_cache()
+    if cache_dir:
+        print(f"persistent XLA cache: {cache_dir}", file=sys.stderr)
+
     from hyrise_tpu.bench.runner import BenchmarkConfig, BenchmarkRunner
     from hyrise_tpu.ops.base import execute_plan
     from hyrise_tpu.storage.catalog import Catalog

@@ -117,3 +117,22 @@ def test_statistics_json_roundtrip_quantiles(tmp_path):
     assert back.columns["s"].quantiles == stats.columns["s"].quantiles
     assert back.columns["s"].fraction_below("c") == \
         stats.columns["s"].fraction_below("c")
+
+
+def test_jit_cache_gating(tmp_path, monkeypatch):
+    """Persistent compilation cache: off on CPU by default (XLA:CPU AOT
+    machine-feature reload warnings), on when forced, off when disabled."""
+    from hyrise_tpu.utils.jit_cache import enable_persistent_cache
+
+    # conftest forces jax_platforms=cpu -> default off
+    monkeypatch.delenv("HYRISE_TPU_JIT_CACHE", raising=False)
+    assert enable_persistent_cache(str(tmp_path / "c1")) is None
+    monkeypatch.setenv("HYRISE_TPU_JIT_CACHE", "0")
+    assert enable_persistent_cache(str(tmp_path / "c2")) is None
+    monkeypatch.setenv("HYRISE_TPU_JIT_CACHE", "1")
+    try:
+        assert enable_persistent_cache(str(tmp_path / "c3")) == \
+            str(tmp_path / "c3")
+    finally:  # don't leave a tmp cache dir configured for later tests
+        import jax
+        jax.config.update("jax_compilation_cache_dir", None)
