@@ -138,6 +138,23 @@ def bench_sql_frontend(runs: int) -> List[dict]:
     }]
 
 
+def bench_dbgen(sf: float = 0.1) -> List[dict]:
+    """TPC-H generator throughput (host-side; reference
+    src/benchmark/tpch_db_generator_benchmark.cpp)."""
+    from hyrise_tpu.tpch.dbgen import generate_tables
+
+    t0 = time.perf_counter()
+    tables = generate_tables(sf)
+    dt = time.perf_counter() - t0
+    rows = sum(t.num_rows for t in tables.values())
+    return [{
+        "name": f"tpch_dbgen_sf{sf:g}",
+        "real_time_ms": dt * 1e3,
+        "iterations": 1,
+        "rows_per_second": rows / dt,
+    }]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=1 << 22)
@@ -201,6 +218,7 @@ def main():
               f"{touched / adj / 1e9:7.1f}GB/s", file=sys.stderr)
 
     results += bench_sql_frontend(args.runs)
+    results += bench_dbgen()
     report = {
         "context": {
             "devices": [str(d) for d in jax.devices()],
