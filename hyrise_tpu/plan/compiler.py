@@ -331,6 +331,13 @@ class CompiledQuery:
             self._jit_cache[key] = entry
         return entry
 
+    def lowered_text(self) -> str:
+        """StableHLO of the current steady-state program (diagnostics: op
+        census / program-size budgeting for remote TPU compiles)."""
+        fn, _ = self._get_jitted()
+        self._salt += 1
+        return fn.lower(self._flat_args(), jnp.int32(self._salt)).as_text()
+
     # -- execution ------------------------------------------------------------
 
     def run(self, tighten: bool = True):
@@ -341,6 +348,7 @@ class CompiledQuery:
 
         flat = self._flat_args()
         self.last_retries = 0
+        seeded_n = len(self.caps) if self._out_meta is None else None
         for _ in range(self.MAX_RETRIES):
             fn, caps_list = self._get_jitted()
             sig_at_build = self._gather_sig()
@@ -353,6 +361,16 @@ class CompiledQuery:
             # the trace is complete, so every gather site's consumed-column
             # set is now fully recorded: later (re)traces batch them
             self._gather_known_upto = len(self.gather_used)
+            if seeded_n and seeded_n != len(self.caps):
+                import warnings
+                warnings.warn(
+                    f"capacity seed has {seeded_n} sites but the plan "
+                    f"traced {len(self.caps)}: the seed was harvested "
+                    f"under a different HYRISE_TPU_FASTPATH setting and "
+                    f"every tighten will RETRACE+RECOMPILE (minutes each "
+                    f"on the remote TPU). Regenerate with tpch_bench.py "
+                    f"--cpu --fastpath matching the target device.")
+                seeded_n = None
             counts_all = self._counts_host(counts)  # [...sites, n_rows]
             counts_h, n = counts_all[:-1], int(counts_all[-1])
             overflow = [i for i, c in enumerate(counts_h)

@@ -34,6 +34,12 @@ def main():
     ap.add_argument("--cpu", action="store_true",
                     help="force the host CPU backend (the axon TPU tunnel "
                          "makes eager per-op dispatch compile-bound)")
+    ap.add_argument("--fastpath", choices=("0", "1"), default=None,
+                    help="force HYRISE_TPU_FASTPATH (sort-based gather/"
+                         "compaction kernels). Capacity/gather seed files "
+                         "are STRUCTURE-SPECIFIC to this setting: harvest "
+                         "seeds on CPU with --fastpath 1 when they will "
+                         "seed a TPU run (kernels/tpu_prims.py fast_path).")
     ap.add_argument("--cap-cache", default=None,
                     help="JSON file of learned capacity vectors per query "
                          "(plan/compiler.py oracle sites). The capacity "
@@ -43,6 +49,9 @@ def main():
                          "needs exactly ONE remote compile instead of a "
                          "retrace per capacity tightening.")
     args = ap.parse_args()
+
+    if args.fastpath is not None:
+        os.environ["HYRISE_TPU_FASTPATH"] = args.fastpath
 
     if args.cpu:
         import jax
