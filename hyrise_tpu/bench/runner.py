@@ -118,8 +118,21 @@ class BenchmarkRunner:
         }
 
     def write_report(self, path: str) -> None:
+        """Merge-by-query-name with any existing report at `path`: fresh
+        measurements win per query, but queries only present in the old file
+        survive. A partial re-run can therefore never shrink the artifact
+        (a full-suite run through a fragile remote tunnel may die midway)."""
+        report = self.report()
+        try:
+            with open(path) as f:
+                old = json.load(f)
+            merged = {b["name"]: b for b in old.get("benchmarks", [])}
+        except (OSError, ValueError):
+            merged = {}
+        merged.update({b["name"]: b for b in report["benchmarks"]})
+        report["benchmarks"] = [merged[k] for k in sorted(merged)]
         with open(path, "w") as f:
-            json.dump(self.report(), f, indent=2)
+            json.dump(report, f, indent=2)
 
 
 def generate_synthetic_table(num_rows: int, num_columns: int,
