@@ -315,6 +315,72 @@ def ranks_lo_hi(sorted_keys: jax.Array,
     return lo, hi
 
 
+def lookup_last_eq(build_keys: jax.Array, build_valid: jax.Array,
+                   probe_keys: jax.Array) -> Tuple[jax.Array, jax.Array]:
+    """For each probe key: (matched, build_row_id) where `matched` says some
+    valid build row carries an equal key and `build_row_id` is the LAST such
+    row (highest original id). The fused equi-join probe for unique build
+    keys / semi-anti existence checks (ops/join.py lookup path): ONE merged
+    2-operand sort + associative scan + ONE 1-operand back-sort, replacing
+    build-sort + ranks_lo_hi + pair expansion + perm gather (~5 sorts).
+
+    Formulation: concatenate (sentinel-masked) build keys and probe keys,
+    sort by (key, tag|id) with tag order valid-build(0) < probe(1) <
+    invalid-build(2), forward-fill each build row's (key, id) onto the
+    probe rows behind it, compare the filled key to the probe key, and
+    back-sort probe entries to request order by a single packed
+    (qid | matched | build_id) int64 lane.
+    """
+    nb = build_keys.shape[0]
+    nq = probe_keys.shape[0]
+    if build_keys.dtype.kind == "f":
+        sentinel = jnp.array(jnp.inf, dtype=build_keys.dtype)
+    else:
+        sentinel = jnp.array(jnp.iinfo(build_keys.dtype).max,
+                             dtype=build_keys.dtype)
+    masked = jnp.where(build_valid, build_keys, sentinel)
+    if not fast_path():
+        # CPU lowering: binary search + gathers are cheap there
+        pos = jnp.arange(nb, dtype=jnp.int32)
+        _, _, perm = jax.lax.sort(
+            (masked, (~build_valid).astype(jnp.int8), pos), num_keys=2,
+            is_stable=True)
+        sk = jnp.sort(masked)
+        lo = jnp.searchsorted(sk, probe_keys, side="left").astype(jnp.int32)
+        hi = jnp.searchsorted(sk, probe_keys, side="right").astype(jnp.int32)
+        hi = jnp.minimum(hi, jnp.sum(build_valid).astype(jnp.int32))
+        matched = hi > lo
+        bid = jnp.take(perm, jnp.clip(hi - 1, 0, max(nb - 1, 0)))
+        return matched, jnp.where(matched, bid, 0).astype(jnp.int32)
+    TAG = jnp.int64(1) << 40
+    keys = jnp.concatenate([masked, probe_keys])
+    sec = jnp.concatenate([
+        jnp.where(build_valid, jnp.int64(0), 2 * TAG)
+        + jnp.arange(nb, dtype=jnp.int64),
+        TAG + jnp.arange(nq, dtype=jnp.int64)])
+    k_s, sec_s = jax.lax.sort((keys, sec), num_keys=2, is_stable=False)
+    tag_s = sec_s >> 40
+    is_build = tag_s == 0
+    bid_s = (sec_s & (TAG - 1)).astype(jnp.int32)
+
+    def comb(a, b):
+        af, ak, ai = a
+        bf, bk, bi = b
+        return (af | bf, jnp.where(bf, bk, ak), jnp.where(bf, bi, ai))
+
+    ff, fk, fi = jax.lax.associative_scan(
+        comb, (is_build, k_s, jnp.where(is_build, bid_s, 0)))
+    matched_s = (tag_s == 1) & ff & (fk == k_s)
+    qid = jnp.where(tag_s == 1, sec_s & (TAG - 1), jnp.int64(nq))
+    pack = ((qid << 33) | (matched_s.astype(jnp.int64) << 32)
+            | fi.astype(jnp.int64))
+    out = jax.lax.sort((pack,), num_keys=1, is_stable=False)[0]
+    out = jax.lax.slice_in_dim(out, 0, nq)
+    matched = ((out >> 32) & 1).astype(jnp.bool_)
+    bid = (out & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+    return matched, jnp.where(matched, bid, 0)
+
+
 # ---------------------------------------------------------------------------
 # segmented reductions
 

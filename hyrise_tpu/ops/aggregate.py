@@ -47,8 +47,22 @@ class Aggregate(AbstractOperator):
         self.aggregates = list(aggregates)
 
     def _on_execute(self, context) -> Table:
+        out = self._execute_impl(context)
+        if len(self.groupby) == 1 and out.has_column(self.groupby[0]):
+            # each group appears once: a single group-by key is unique in
+            # the output (drives the fused lookup join against aggregated
+            # subqueries, e.g. Q2/Q15/Q17/Q21 shapes)
+            out.column(self.groupby[0]).unique = True
+        return out
+
+    def _execute_impl(self, context) -> Table:
         from hyrise_tpu.kernels import tpu_prims
+        from hyrise_tpu.ops.materialize import compact_if_shrunk
         table = self.input_table(0)
+        if self.groupby:
+            # group-by pays per-capacity sort costs; compact when the live
+            # count's bucket shrank (post-join masked layouts)
+            table = compact_if_shrunk(table)
         if tpu_prims.fast_path():
             # TPU formulations: scatter-free segmented reductions and ONE
             # multi-operand sort instead of lexsort + per-column gathers

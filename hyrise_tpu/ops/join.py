@@ -192,10 +192,72 @@ class Join(AbstractOperator):
         table's SortedIndex."""
         return None
 
+    # -- fused lookup path (unique build keys / existence joins) -------------
+
+    def _lookup_applicable(self, build_t: Table, build_col: str,
+                           mode: JoinMode) -> bool:
+        """The merged-lookup probe (tpu_prims.lookup_last_eq) is exact when
+        every probe row has at most one match: SEMI/ANTI need existence only
+        (any build side), INNER/LEFT need a unique build key column."""
+        if self.cond is not PredicateCondition.EQUALS:
+            return False
+        if mode in (JoinMode.SEMI, JoinMode.ANTI):
+            return True
+        if mode in (JoinMode.INNER, JoinMode.LEFT):
+            try:
+                return bool(build_t.column(build_col).unique)
+            except KeyError:
+                return False
+        return False
+
+    def _lookup_execute(self, probe_t: Table, build_t: Table,
+                        probe_col: str, build_col: str, mode: JoinMode,
+                        swap_output: bool = False) -> Table:
+        """Fused equi-join: per-probe (matched, build_row) from ONE merged
+        sort; output keeps the probe table's capacity with a live MASK —
+        probe columns pass through untouched (and keep their unique flags),
+        so join chains never re-materialize the probe side."""
+        from hyrise_tpu.kernels.tpu_prims import lookup_last_eq
+        from hyrise_tpu.plan.compiler import tracing
+
+        lk, lv, rk, rv = _join_key_arrays(probe_t, build_t,
+                                          probe_col, build_col)
+        live = probe_t.live_mask()
+        probe_valid = live if lv is None else (live & lv)
+        b_live = build_t.live_mask()
+        build_valid = b_live if rv is None else (b_live & rv)
+        matched, bid = lookup_last_eq(rk, build_valid, lk)
+        matched = matched & probe_valid
+        self.performance_data.extra["lookup_join"] = True
+        if mode in (JoinMode.SEMI, JoinMode.ANTI):
+            keep = matched if mode is JoinMode.SEMI else (live & ~matched)
+            cnt = jnp.sum(keep)
+            return Table(probe_t.columns, cnt if tracing() else int(cnt),
+                         name=probe_t.name, live=keep)
+        out_live = matched if mode is JoinMode.INNER else live
+        extra_valid = matched if mode is JoinMode.LEFT else None
+        build_cols = _gather_columns(build_t, bid, extra_valid)
+        cols = (build_cols + probe_t.columns) if swap_output \
+            else (probe_t.columns + build_cols)
+        cnt = jnp.sum(out_live)
+        return Table(cols, cnt if tracing() else int(cnt),
+                     name=probe_t.name, live=out_live)
+
     def _on_execute(self, context) -> Table:
+        from hyrise_tpu.ops.materialize import compact_if_shrunk
         mode = self.mode
-        lt = self.input_table(0)
-        rt = self.input_table(1)
+        lt = compact_if_shrunk(self.input_table(0))
+        rt = compact_if_shrunk(self.input_table(1))
+
+        if mode is JoinMode.RIGHT:
+            # swapped: probe = right table, build = left table
+            if self._lookup_applicable(lt, self.left_col, JoinMode.LEFT):
+                return self._lookup_execute(rt, lt, self.right_col,
+                                            self.left_col, JoinMode.LEFT,
+                                            swap_output=True)
+        elif self._lookup_applicable(rt, self.right_col, mode):
+            return self._lookup_execute(lt, rt, self.left_col,
+                                        self.right_col, mode)
 
         if mode is JoinMode.RIGHT:
             # RIGHT = LEFT with sides swapped (reference join_hash.cpp:55-76),
@@ -363,6 +425,11 @@ class JoinIndex(Join):
 
     name = "JoinIndex"
 
+    def _lookup_applicable(self, build_t, build_col, mode):
+        # JoinIndex's point is consuming the table's prebuilt SortedIndex
+        # (general path, _prebuilt_build); the fused lookup would bypass it.
+        return False
+
     def _prebuilt_build(self, lt: Table, rt: Table, key_dtype):
         from hyrise_tpu.storage.index import get_index
         idx = get_index(rt, self.right_col)
@@ -388,9 +455,15 @@ class JoinIndex(Join):
 
 class JoinMPSM(Join):
     """Reference JoinMPSM (NUMA-aware massively-parallel sort-merge,
-    join_mpsm.cpp): its per-NUMA-node clustering maps to the per-shard
-    clustering of the distributed path (parallel/exchange.py); single-chip
-    execution is this same sorted engine."""
+    join_mpsm.cpp:537 + join_mpsm/radix_cluster_sort_numa.hpp).
+
+    Distributed execution is a DISTINCT strategy: the distributed compiler
+    routes JoinMPSM through VALUE-range clustering (quantile splitters of
+    the probe key's distribution; each shard ≈ one NUMA node receives one
+    contiguous key range of BOTH sides and merges it locally —
+    parallel/dist_compiler.py `decision == "mpsm"`), versus the hash
+    all_to_all of the default shuffle strategy. Single-chip execution is
+    the shared sorted engine (a one-cluster sort-merge)."""
 
     name = "JoinMPSM"
 

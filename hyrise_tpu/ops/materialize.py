@@ -55,7 +55,8 @@ def _recording(ctx, site: int, tag: str, fn):
 
 
 def gather_columns_at(table: Table, indices: jax.Array,
-                      extra_valid: Optional[jax.Array] = None) -> list:
+                      extra_valid: Optional[jax.Array] = None,
+                      preserve_unique: bool = False) -> list:
     """Columns of table[indices] — the shared join/materialization gather.
 
     Late materialization (the ReferenceColumn idea, reference
@@ -117,22 +118,27 @@ def gather_columns_at(table: Table, indices: jax.Array,
         else:
             v = extra_valid
         cols.append(Column(c.name, c.dtype, data, v, c.dictionary,
-                           capacity_hint=cap))
+                           capacity_hint=cap,
+                           unique=c.unique and preserve_unique))
     return cols
 
 
 def gather_table(table: Table, indices: jax.Array, count: int,
-                 name: Optional[str] = None, lazy: bool = True) -> Table:
-    """table[indices[:count]] as a new table (see gather_columns_at)."""
+                 name: Optional[str] = None, lazy: bool = True,
+                 preserve_unique: bool = False) -> Table:
+    """table[indices[:count]] as a new table (see gather_columns_at).
+    preserve_unique: set only when `indices` are pairwise distinct
+    (filter compactions), so unique flags survive the row subset."""
     if lazy:
-        cols = gather_columns_at(table, indices)
+        cols = gather_columns_at(table, indices,
+                                 preserve_unique=preserve_unique)
     else:
         from hyrise_tpu.utils.asserts import assert_indices_in_range
         assert_indices_in_range(indices, table.capacity,
                                 "gather_table.indices")
         cols = [Column(c.name, c.dtype, _take(c.data, indices),
                        _take(c.validity, indices) if c.has_validity else None,
-                       c.dictionary)
+                       c.dictionary, unique=c.unique and preserve_unique)
                 for c in table.columns]
     return Table(cols, count, name=name if name is not None else table.name)
 
@@ -149,7 +155,7 @@ def filter_table(table: Table, mask: jax.Array) -> Table:
     mask = mask & table.live_mask()
     if not tpu_prims.fast_path():
         indices, count = mask_to_indices(mask)
-        return gather_table(table, indices, count)
+        return gather_table(table, indices, count, preserve_unique=True)
     from hyrise_tpu.plan.compiler import tracing
     count_t = jnp.sum(mask)
     count = count_t if tracing() else int(count_t)
@@ -182,7 +188,43 @@ def ensure_prefix(table: Table) -> Table:
         if hv:
             validity = outs[i]
             i += 1
-        cols.append(Column(c.name, c.dtype, data, validity, c.dictionary))
+        cols.append(Column(c.name, c.dtype, data, validity, c.dictionary,
+                           unique=c.unique))
     t = Table(cols, count, name=table.name)
     t.mvcc = table.mvcc
     return t
+
+
+def compact_if_shrunk(table: Table) -> Table:
+    """Masked-layout table → prefix layout WHEN the learned live count's
+    capacity bucket is smaller than the current capacity.
+
+    Rationale: the masked layout makes filters free, but every sort-based
+    consumer downstream (joins, group-bys) then pays per-CAPACITY sort
+    costs. When the oracle has learned that far fewer rows are live, one
+    compaction pays for itself across all downstream sorts. Implemented as
+    compact_indices + a lazy gather (NOT a whole-row compact sort) so only
+    the columns actually consumed downstream are moved — the gather-site
+    learning batches them into one multi-column sort-gather on later
+    traces. First trace (capacity-bound speculative cap): keeps the masked
+    layout; after tightening/seeding the bucket shrinks and the compacted
+    program is traced.
+    """
+    if table.live is None:
+        return table
+    cached = getattr(table, "_prefix_cache", None)
+    if cached is not None:
+        return cached
+    from hyrise_tpu.kernels.tpu_prims import compact_indices
+    from hyrise_tpu.plan.compiler import oracle_capacity
+    mask = table.live
+    count, cap = oracle_capacity(jnp.sum(mask), bound=int(mask.shape[0]),
+                                 label="compact")
+    if cap >= table.capacity:
+        result = table
+    else:
+        idx = compact_indices(mask, cap)
+        result = gather_table(table, idx, count, preserve_unique=True)
+        result.mvcc = table.mvcc
+    table._prefix_cache = result
+    return result

@@ -70,5 +70,6 @@ class Sort(AbstractOperator):
             if hv:
                 validity = outs[i]
                 i += 1
-            cols.append(Column(c.name, c.dtype, data, validity, c.dictionary))
+            cols.append(Column(c.name, c.dtype, data, validity, c.dictionary,
+                               unique=c.unique))
         return Table(cols, table.num_rows, name=table.name)

@@ -280,7 +280,7 @@ class CompiledQuery:
                 data = next(it)
                 validity = next(it) if c.has_validity else None
                 cols.append(Column(c.name, c.dtype, data, validity,
-                                   c.dictionary))
+                                   c.dictionary, unique=c.unique))
             t = Table(cols, src.num_rows, name=src.name)
             ctx.table_subst[id(src)] = t
 

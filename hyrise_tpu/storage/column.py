@@ -84,11 +84,12 @@ class Column:
     """
 
     __slots__ = ("name", "dtype", "_data", "_validity", "dictionary",
-                 "_capacity_hint", "encoded")
+                 "_capacity_hint", "encoded", "unique")
 
     def __init__(self, name: str, dtype: DataType, data,
                  validity=None, dictionary: Optional[np.ndarray] = None,
-                 capacity_hint: Optional[int] = None, encoded=None):
+                 capacity_hint: Optional[int] = None, encoded=None,
+                 unique: bool = False):
         self.name = name
         self.dtype = dtype
         self._data = data
@@ -99,6 +100,13 @@ class Column:
         # column's dense form is a lazy decode thunk (RLE / FoR / narrow
         # codes); None for plain dense columns
         self.encoded = encoded
+        # live values are pairwise distinct (primary keys, single-column
+        # group-by outputs). Key-preserving operators (filters, renames,
+        # probe-side passthrough of unique-build joins) keep the flag;
+        # anything that can duplicate rows drops it. Drives the fused
+        # lookup-join path (ops/join.py) — a wrong True produces wrong
+        # JOIN results, so only provably-distinct sources set it.
+        self.unique = unique
 
     @property
     def data(self) -> jax.Array:
@@ -189,7 +197,8 @@ class Column:
     def with_name(self, name: str) -> "Column":
         # shares the (possibly still-unmaterialized) payload
         return Column(name, self.dtype, self._data, self._validity,
-                      self.dictionary, self._capacity_hint)
+                      self.dictionary, self._capacity_hint,
+                      unique=self.unique)
 
     def code_for(self, value: str) -> Optional[int]:
         """Exact dictionary code of a string value, or None if absent."""

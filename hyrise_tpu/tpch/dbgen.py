@@ -185,6 +185,13 @@ def _addresses(rng, n) -> EncodedStr:
 # table builders
 
 
+# Single-column primary keys (TPC-H spec §1.4.2): drives the fused
+# lookup-join path (ops/join.py — unique build keys probe in one merged
+# sort). partsupp's key is composite, so no single column qualifies.
+PRIMARY_KEYS = {"r_regionkey", "n_nationkey", "s_suppkey", "c_custkey",
+                "p_partkey", "o_orderkey"}
+
+
 def _make_table(name: str, specs: List[ColSpec], n: int) -> Table:
     import jax.numpy as jnp
     cap = bucket_capacity(max(n, 1))
@@ -199,7 +206,8 @@ def _make_table(name: str, specs: List[ColSpec], n: int) -> Table:
         else:
             arr = np.zeros(cap, dtype=dt.numpy_dtype)
             arr[:n] = payload
-            cols.append(Column(col_name, dt, jnp.asarray(arr), None, None))
+            cols.append(Column(col_name, dt, jnp.asarray(arr), None, None,
+                               unique=col_name in PRIMARY_KEYS))
     return Table(cols, n, name=name)
 
 
