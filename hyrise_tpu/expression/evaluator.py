@@ -518,6 +518,27 @@ class _Compiler:
     def _cast(self, e: ast.Cast) -> _C:
         vc = self.compile(e.value)
         target = e.dtype
+        if target is DataType.STRING and vc.dtype in (DataType.INT32,
+                                                      DataType.INT64):
+            # CAST(int AS TEXT): the output dictionary depends on the DATA,
+            # so evaluate the argument on the host NOW (eager execution
+            # only; under whole-plan tracing the values are abstract).
+            import jax
+            env = {n: (self.table.column(n).data,
+                       self.table.column(n).validity)
+                   for n in e.value.columns()}
+            data, v = vc.fn(env)
+            if isinstance(data, jax.core.Tracer):
+                raise NotImplementedError("CAST to STRING under jit")
+            host = np.asarray(data).astype(np.int64)
+            strs = host.astype(str)
+            dictionary, codes = np.unique(strs, return_inverse=True)
+            codes_j = jnp.asarray(codes.astype(np.int32))
+
+            def fn(env: Env) -> Value:
+                return codes_j, v
+
+            return _C(DataType.STRING, dictionary, fn)
         if vc.dtype is DataType.STRING or target is DataType.STRING:
             raise NotImplementedError("string casts")
 

@@ -91,6 +91,10 @@ class FusedFilterAggregate(AbstractOperator):
             if ce is not None:
                 required.update(ce.required)
         required = sorted(required)
+        if not required:
+            # COUNT(*) with a constant/absent predicate references no
+            # columns; carry one so the kernel knows the row capacity
+            required = [table.columns[0].name]
 
         groupby = list(self.groupby)
 

@@ -511,6 +511,16 @@ class ColumnPruningRule:
                         stored.pruned_columns = [src for _, src in kept]
                 seen.add(id(stored))
                 return
+            if isinstance(n, L.AliasNode) and n.sources is not None and \
+                    isinstance(n.children[0], L.AddRowIdsNode):
+                # rid-tagging aliases (decorrelation) re-export the outer
+                # columns; drop pairs nobody consumes so leaf pruning below
+                # can't orphan a source name
+                kept = [(nm, src) for nm, src in zip(n.names, n.sources)
+                        if nm in all_required or src == "row_id"]
+                if kept and len(kept) < len(n.names):
+                    n.names = [nm for nm, _ in kept]
+                    n.sources = [src for _, src in kept]
             if isinstance(n, L.StoredTableNode) and n.pruned_columns is None \
                     and catalog.has_table(n.table_name):
                 cols = catalog.get_table(n.table_name).column_names

@@ -502,7 +502,7 @@ class Parser:
     def parse_table_ref(self) -> TableRef:
         if self.at_op("("):
             self.take()
-            sub = self.parse_select()
+            sub = self.parse_select_compound()
             self.expect_op(")")
             alias = None
             if self.at_kw("as"):
@@ -685,7 +685,7 @@ class Parser:
             if self.at_kw("exists"):
                 self.take()
                 self.expect_op("(")
-                sub = self.parse_select()
+                sub = self.parse_select_compound()
                 self.expect_op(")")
                 return EExists(sub, negate=True)
             return EUnary("not", self.parse_not())
@@ -718,7 +718,7 @@ class Parser:
                 self.take()
                 self.expect_op("(")
                 if self.at_kw("select"):
-                    sub = self.parse_select()
+                    sub = self.parse_select_compound()
                     self.expect_op(")")
                     e = EIn(e, None, sub, negate)
                 else:
@@ -788,7 +788,7 @@ class Parser:
         if t.kind == "kw" and t.value == "exists":
             self.take()
             self.expect_op("(")
-            sub = self.parse_select()
+            sub = self.parse_select_compound()
             self.expect_op(")")
             return EExists(sub)
         if t.kind == "kw" and t.value == "case":
@@ -804,7 +804,7 @@ class Parser:
         if t.kind == "op" and t.value == "(":
             self.take()
             if self.at_kw("select"):
-                sub = self.parse_select()
+                sub = self.parse_select_compound()
                 self.expect_op(")")
                 return ESubquery(sub)
             e = self.parse_expr()
@@ -849,11 +849,17 @@ class Parser:
 
     def parse_case(self):
         self.expect_kw("case")
+        operand = None
+        if not self.at_kw("when"):
+            # simple CASE: CASE x WHEN v THEN r ... == CASE WHEN x = v ...
+            operand = self.parse_expr()
         whens = []
         otherwise = None
         while self.at_kw("when"):
             self.take()
             c = self.parse_expr()
+            if operand is not None:
+                c = EBinary("=", operand, c)
             self.expect_kw("then")
             v = self.parse_expr()
             whens.append((c, v))

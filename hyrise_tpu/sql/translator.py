@@ -167,10 +167,23 @@ class SQLToLQPTranslator:
                     else L.ShowColumnsNode(stmt.table))
         raise SQLTranslationError(f"cannot translate {type(stmt).__name__}")
 
+    def _select_any(self, stmt, scope: Scope
+                    ) -> Tuple[L.LQPNode, List[str]]:
+        """(node, output names) for a plain SelectStmt OR a compound
+        SetOpStmt — subquery positions accept both."""
+        if isinstance(stmt, P.SetOpStmt):
+            node, names = self._set_op_named(stmt)
+            return node, names
+        return self._select(stmt, scope)
+
     def _set_op(self, stmt: P.SetOpStmt) -> L.LQPNode:
+        return self._set_op_named(stmt)[0]
+
+    def _set_op_named(self, stmt: P.SetOpStmt
+                      ) -> Tuple[L.LQPNode, List[str]]:
         def side(s):
             if isinstance(s, P.SetOpStmt):
-                return self._set_op(s), None
+                return self._set_op_named(s)
             node, names = self._select(s, Scope())
             return node, names
 
@@ -201,7 +214,7 @@ class SQLToLQPTranslator:
             node = L.SortNode(defs, node)
         if stmt.limit is not None:
             node = L.LimitNode(stmt.limit, node)
-        return node
+        return node, (l_names or [])
 
     # -- SELECT --------------------------------------------------------------
 
@@ -271,7 +284,7 @@ class SQLToLQPTranslator:
         if ref.subquery is not None:
             if alias is None:
                 alias = _gen_name("sub")
-            sub_node, sub_cols = self._select(ref.subquery, Scope())
+            sub_node, sub_cols = self._select_any(ref.subquery, Scope())
             scope.add_table(alias, sub_cols)
             return L.AliasNode([f"{alias}.{c}" for c in sub_cols], sub_node,
                                sources=sub_cols)
@@ -417,6 +430,18 @@ class SQLToLQPTranslator:
                         return rewritten
         return L.PredicateNode(self._expr(c, scope), node)
 
+    def _exists_count_pred(self, sub_node: L.LQPNode, negate: bool,
+                           node: L.LQPNode) -> L.LQPNode:
+        """Uncorrelated [NOT] EXISTS: COUNT(*) over the subquery compared
+        against 0 (the scalar-subquery placeholder machinery executes it
+        once before physical translation)."""
+        name = _gen_name("exists_cnt")
+        agg = L.AggregateNode([], [(name, ast.count_())], sub_node)
+        cond = (PredicateCondition.EQUALS if negate
+                else PredicateCondition.GREATER_THAN)
+        pred = ast.Comparison(cond, ScalarSubquery(agg), ast.lit(0))
+        return L.PredicateNode(pred, node)
+
     def _exists_to_join(self, sub: P.SelectStmt, negate: bool,
                         node: L.LQPNode, scope: Scope) -> L.LQPNode:
         """[NOT] EXISTS with equality correlation -> SEMI/ANTI join.
@@ -428,6 +453,9 @@ class SQLToLQPTranslator:
         scope, take the distinct matched row ids, and semi/anti join the
         outer rows against them.
         """
+        if isinstance(sub, P.SetOpStmt):
+            # compound subquery: can't correlate; nonempty test
+            return self._exists_count_pred(self._set_op(sub), negate, node)
         sub_scope = Scope(scope)
         sub_node = self._from_clause(sub, sub_scope)
         corr: List[Tuple[str, str]] = []  # (outer_qualified, inner_qualified)
@@ -446,8 +474,11 @@ class SQLToLQPTranslator:
                 else:
                     residual.append(c)
         if not corr:
-            raise SQLTranslationError(
-                "EXISTS subquery without equality correlation")
+            if residual:
+                raise SQLTranslationError(
+                    "EXISTS subquery without equality correlation")
+            # fully uncorrelated EXISTS: true iff the subquery is nonempty
+            return self._exists_count_pred(sub_node, negate, node)
         if not residual:
             outer_col, inner_col = self._single_corr(corr, sub_node, sub_scope)
             mode = JoinMode.ANTI if negate else JoinMode.SEMI
@@ -482,7 +513,7 @@ class SQLToLQPTranslator:
         if not isinstance(c.value, P.EColumn):
             raise SQLTranslationError("IN (SELECT ...) requires a column lhs")
         outer_col = scope.resolve(c.value.table, c.value.name)
-        sub_node, sub_cols = self._select(c.subquery, scope)
+        sub_node, sub_cols = self._select_any(c.subquery, scope)
         if len(sub_cols) != 1:
             raise SQLTranslationError("IN subquery must return one column")
         mode = JoinMode.ANTI if c.negate else JoinMode.SEMI
@@ -520,13 +551,21 @@ class SQLToLQPTranslator:
         raise SQLTranslationError(
             "multi-column correlation not yet supported in SQL path")
 
-    def _scalar_subquery_compare(self, c, sub_expr: P.ESubquery, other,
-                                 sub_on_right: bool, node: L.LQPNode,
-                                 scope: Scope) -> Optional[L.LQPNode]:
-        """outer_expr OP (SELECT agg(e) FROM t WHERE corr) handling."""
-        sub = sub_expr.subquery
-        if len(sub.select) != 1 or sub.select[0][1] == "*":
-            return None
+    def _correlated_scalar_value(self, sub, node: L.LQPNode, scope: Scope):
+        """Decorrelate `(SELECT agg(e) FROM t WHERE t.k = outer.k [AND ...])`
+        against `node`: group the subquery by its correlation key, LEFT-join
+        the per-key aggregates onto the outer rows, and return the value as
+        a column expression (correlated COUNT over an empty group coalesces
+        to 0 — reference parity with SQL semantics).
+
+        Returns ("ok", (joined_node, value_expr)),
+        ("uncorrelated", None) when there is no equality correlation, or
+        ("unsupported", None) when correlated but not a lowerable aggregate.
+        Shared by WHERE comparisons (_scalar_subquery_compare) and
+        select-list scalar subqueries (_plain_select)."""
+        if not isinstance(sub, P.SelectStmt) or len(sub.select) != 1 \
+                or sub.select[0][1] == "*":
+            return "uncorrelated", None
         sub_scope = Scope(scope)
         sub_from = self._from_clause(sub, sub_scope)
         corr: List[Tuple[str, str]] = []
@@ -536,24 +575,18 @@ class SQLToLQPTranslator:
                 pair = self._correlation_pair(cc, sub_scope, scope)
                 if pair is not None:
                     corr.append(pair)
+                    continue
+                cols = self._collect_columns(cc)
+                if all(sub_scope.is_local(e.table, e.name) for e in cols):
+                    local_node = self._apply_conjunct(cc, local_node,
+                                                      sub_scope)
                 else:
-                    local_node = self._apply_conjunct(cc, local_node, sub_scope)
-        sel_expr = sub.select[0][1]
+                    return "unsupported", None  # non-equality correlation
         if not corr:
-            # uncorrelated scalar: defer via placeholder
-            sub_lqp, sub_cols = self._select(sub, scope)
-            placeholder = ScalarSubquery(sub_lqp)
-            cond = _COND_MAP[c.op]
-            outer_e = self._expr(other, scope)
-            if sub_on_right:
-                pred = ast.Comparison(cond, outer_e, placeholder)
-            else:
-                pred = ast.Comparison(cond, placeholder, outer_e)
-            return L.PredicateNode(pred, node)
-        # correlated: select expr must be built from aggregates (possibly
-        # inside arithmetic, e.g. 0.2 * avg(x))
+            return "uncorrelated", None
+        sel_expr = sub.select[0][1]
         if not self._contains_agg(sel_expr):
-            return None
+            return "unsupported", None
         inner_keys = [ic for _, ic in corr]
         aggs: List[Tuple[str, ast.AggregateExpr]] = []
         name_of: Dict[str, str] = {}
@@ -571,33 +604,104 @@ class SQLToLQPTranslator:
         agg_name = _gen_name("corr_val")
         agg_node = L.AggregateNode(inner_keys, aggs, local_node)
         agg_node = L.ProjectionNode(
-            [c for c in inner_keys] + [(agg_name, value_expr)], agg_node)
+            list(inner_keys) + [(agg_name, value_expr)], agg_node)
         # rename inner keys to avoid clashing with outer columns
         renamed = [_gen_name("ck") for _ in inner_keys]
         out_cols = inner_keys + [agg_name]
         agg_node = L.AliasNode(renamed + [agg_name], agg_node,
                                sources=out_cols)
-        joined = node
-        for (outer_c, _), rn in zip(corr, renamed):
-            # LEFT join: outer rows with an empty correlated group survive
-            # with NULL aggregates (COUNT coalesces to 0 above; any other
-            # aggregate compares as NULL -> filtered, matching SQL)
-            joined = L.JoinNode(JoinMode.LEFT, joined, agg_node, outer_c, rn)
-            break  # single join; extra corr pairs filtered below
+        # LEFT join: outer rows with an empty correlated group survive with
+        # NULL aggregates (COUNT coalesces to 0 below; any other aggregate
+        # compares as NULL -> filtered, matching SQL)
+        joined = L.JoinNode(JoinMode.LEFT, node, agg_node, corr[0][0],
+                            renamed[0])
         for (outer_c, _), rn in list(zip(corr, renamed))[1:]:
             joined = L.PredicateNode(
                 ast.Comparison(PredicateCondition.EQUALS, ast.col(outer_c),
                                ast.col(rn)), joined)
-        cond = _COND_MAP[c.op]
-        outer_e = self._expr(other, scope)
         value_ref: ast.Expr = ast.col(agg_name)
         if isinstance(sel_expr, P.EFunc) and sel_expr.name == "count":
-            # a correlated COUNT over an EMPTY group is 0, not absent: the
-            # LEFT join kept the outer row with a NULL count — coalesce it
-            # AFTER the join (any other aggregate stays NULL -> filtered,
-            # matching SQL comparison semantics)
+            # a correlated COUNT over an EMPTY group is 0, not absent
             value_ref = ast.Case([(ast.IsNull(value_ref), ast.lit(0))],
                                  value_ref)
+        return "ok", (joined, value_ref)
+
+    def _rid_scalar_value(self, sub: P.SelectStmt, node: L.LQPNode,
+                          scope: Scope):
+        """Scalar aggregate subquery with ARBITRARY correlation (e.g.
+        `m2.a < outer.a`): tag outer rows with row ids, cross-join the
+        subquery's FROM, filter every WHERE conjunct in the joined scope
+        (outer refs resolve through the scope chain), aggregate per outer
+        row id, LEFT-join the values back. O(outer x inner) pairs — the
+        general fallback when key-based decorrelation
+        (_correlated_scalar_value) does not apply."""
+        if len(sub.select) != 1 or sub.select[0][1] == "*":
+            return None
+        sel_expr = sub.select[0][1]
+        if not self._contains_agg(sel_expr):
+            return None
+        from hyrise_tpu.plan.optimizer import _output_columns
+        outer_cols = _output_columns(node, self.catalog)
+        if outer_cols is None:
+            return None
+        rid = _gen_name("rid")
+        tagged = L.AliasNode(outer_cols + [rid], L.AddRowIdsNode(node),
+                             sources=outer_cols + ["row_id"])
+        sub_scope = Scope(scope)
+        sub_from = self._from_clause(sub, sub_scope)
+        joined = L.JoinNode(JoinMode.CROSS, tagged, sub_from)
+        if sub.where is not None:
+            for cc in self._split_and(sub.where):
+                joined = L.PredicateNode(self._expr(cc, sub_scope), joined)
+        aggs: List[Tuple[str, ast.AggregateExpr]] = []
+        name_of: Dict[str, str] = {}
+
+        def lower(e) -> ast.Expr:
+            if isinstance(e, P.EFunc) and e.name in _AGG_FUNCS:
+                r = repr(e)
+                if r not in name_of:
+                    name_of[r] = _gen_name("corr_agg")
+                    aggs.append((name_of[r], self._agg_expr(e, sub_scope)))
+                return ast.col(name_of[r])
+            return self._expr_generic(e, lower, scope=sub_scope)
+
+        value_expr = lower(sel_expr)
+        agg_name = _gen_name("corr_val")
+        agg_node = L.AggregateNode([rid], aggs, joined)
+        agg_node = L.ProjectionNode([rid, (agg_name, value_expr)], agg_node)
+        crid = _gen_name("crid")
+        agg_node = L.AliasNode([crid, agg_name], agg_node,
+                               sources=[rid, agg_name])
+        back = L.JoinNode(JoinMode.LEFT, tagged, agg_node, rid, crid)
+        value_ref: ast.Expr = ast.col(agg_name)
+        if isinstance(sel_expr, P.EFunc) and sel_expr.name == "count":
+            value_ref = ast.Case([(ast.IsNull(value_ref), ast.lit(0))],
+                                 value_ref)
+        return back, value_ref
+
+    def _scalar_subquery_compare(self, c, sub_expr: P.ESubquery, other,
+                                 sub_on_right: bool, node: L.LQPNode,
+                                 scope: Scope) -> Optional[L.LQPNode]:
+        """outer_expr OP (SELECT agg(e) FROM t WHERE corr) handling."""
+        sub = sub_expr.subquery
+        status, payload = self._correlated_scalar_value(sub, node, scope)
+        if status == "unsupported":
+            payload = (self._rid_scalar_value(sub, node, scope)
+                       if isinstance(sub, P.SelectStmt) else None)
+            if payload is None:
+                return None
+            status = "ok"
+        if status == "uncorrelated":
+            if isinstance(sub, P.SelectStmt) and (
+                    len(sub.select) != 1 or sub.select[0][1] == "*"):
+                return None
+            sub_lqp, _ = self._select_any(sub, scope)
+            joined: L.LQPNode = node
+            value_ref: ast.Expr = ScalarSubquery(sub_lqp)
+        else:
+            joined, value_ref = payload
+        cond = _COND_MAP[c.op]
+        outer_e = self._expr(other, scope)
         if sub_on_right:
             pred = ast.Comparison(cond, outer_e, value_ref)
         else:
@@ -605,7 +709,6 @@ class SQLToLQPTranslator:
         return L.PredicateNode(pred, joined)
 
     # -- SELECT list / aggregation -------------------------------------------
-
     def _contains_agg(self, e) -> bool:
         if isinstance(e, (P.ESubquery, P.EExists)):
             return False  # subquery aggregates belong to the subquery
@@ -661,6 +764,68 @@ class SQLToLQPTranslator:
                                      self._expr(e.args[0], scope))
         return ast.AggregateExpr(fn, self._expr(e.args[0], scope))
 
+    def _inline_correlated_subqueries(self, e, node: L.LQPNode, scope: Scope):
+        """Replace correlated scalar subqueries inside a select-list
+        expression with decorrelated value columns (LEFT-joined onto `node`
+        via _correlated_scalar_value). Returns (expr', node'); already-
+        lowered ast.Expr fragments pass through _expr untouched."""
+        if isinstance(e, P.ESubquery):
+            status, payload = self._correlated_scalar_value(
+                e.subquery, node, scope)
+            if status == "ok":
+                joined, value_ref = payload
+                return value_ref, joined
+            return e, node
+        if isinstance(e, P.EIn) and e.subquery is not None \
+                and isinstance(e.value, P.EColumn):
+            # IN-subquery in EXPRESSION position (e.g. inside CASE): LEFT
+            # join a distinct marker column and test it for NULL. (x IN set
+            # yields NULL when x is NULL in SQL; as a condition that is
+            # indistinguishable from FALSE, which this produces.)
+            sub_lqp, sub_cols = self._select_any(e.subquery, scope)
+            if len(sub_cols) != 1:
+                raise SQLTranslationError("IN subquery must return one column")
+            key, marker = _gen_name("in_k"), _gen_name("in_m")
+            proj = L.ProjectionNode(
+                [(key, ast.col(sub_cols[0])), (marker, ast.lit(1))],
+                L.DistinctNode(sub_lqp))
+            outer_col = scope.resolve(e.value.table, e.value.name)
+            joined = L.JoinNode(JoinMode.LEFT, node, proj, outer_col, key)
+            m: ast.Expr = ast.IsNull(ast.col(marker))
+            return (m if e.negate else ast.Not(m)), joined
+        if isinstance(e, P.ECase):
+            whens, changed = [], False
+            for cnd, val in e.whens:
+                nc, node = self._inline_correlated_subqueries(cnd, node, scope)
+                nv, node = self._inline_correlated_subqueries(val, node, scope)
+                changed = changed or nc is not cnd or nv is not val
+                whens.append((nc, nv))
+            other = e.otherwise
+            if other is not None:
+                no, node = self._inline_correlated_subqueries(other, node,
+                                                              scope)
+                changed = changed or no is not other
+                other = no
+            if changed:
+                e = dataclasses.replace(e, whens=whens, otherwise=other)
+            return e, node
+        for field in ("left", "right", "value", "operand"):
+            sub = getattr(e, field, None)
+            if sub is not None and not isinstance(sub, (str, int, float)):
+                new, node = self._inline_correlated_subqueries(sub, node,
+                                                               scope)
+                if new is not sub:
+                    e = dataclasses.replace(e, **{field: new})
+        if getattr(e, "args", None) and isinstance(e, P.EFunc):
+            args, changed = [], False
+            for a in e.args:
+                na, node = self._inline_correlated_subqueries(a, node, scope)
+                changed = changed or na is not a
+                args.append(na)
+            if changed:
+                e = dataclasses.replace(e, args=args)
+        return e, node
+
     def _plain_select(self, sel: P.SelectStmt, node: L.LQPNode, scope: Scope
                       ) -> Tuple[L.LQPNode, List[str]]:
         outputs: List[Tuple[str, ast.Expr]] = []
@@ -672,6 +837,8 @@ class SQLToLQPTranslator:
                     names.append(b)
                 continue
             name = alias or self._default_name(e)
+            if not isinstance(e, str):
+                e, node = self._inline_correlated_subqueries(e, node, scope)
             outputs.append((name, self._expr(e, scope)))
             names.append(name)
         return L.ProjectionNode(outputs, node), names
@@ -793,6 +960,8 @@ class SQLToLQPTranslator:
                                   scope=scope)
 
     def _expr_generic(self, e, rec, scope: Optional[Scope] = None) -> ast.Expr:
+        if isinstance(e, ast.Expr):
+            return e  # already lowered (decorrelated select-list subqueries)
         if isinstance(e, P.EColumn):
             if scope is None:
                 raise SQLTranslationError(f"unresolved column {e.name}")
@@ -854,7 +1023,7 @@ class SQLToLQPTranslator:
                     ast.Literal(e.args[0].value), rec(e.args[1])])
             raise SQLTranslationError(f"unknown function {e.name!r}")
         if isinstance(e, P.ESubquery):
-            sub_lqp, cols = self._select(e.subquery, scope or Scope())
+            sub_lqp, cols = self._select_any(e.subquery, scope or Scope())
             return ScalarSubquery(sub_lqp)
         if isinstance(e, P.EExists):
             raise SQLTranslationError(

@@ -91,6 +91,18 @@ class Table:
         defs, arrays, validities = [], [], []
         for col in df.columns:
             s = df[col]
+            dtype_name = str(s.dtype)
+            if dtype_name in ("Int32", "Int64", "Float32", "Float64"):
+                # pandas nullable extension dtypes
+                dt = {"Int32": DataType.INT32, "Int64": DataType.INT64,
+                      "Float32": DataType.FLOAT32,
+                      "Float64": DataType.FLOAT64}[dtype_name]
+                null_mask = s.isna().to_numpy()
+                defs.append(TableColumnDefinition(str(col), dt,
+                                                  bool(null_mask.any())))
+                arrays.append(s.fillna(0).to_numpy(dtype=dt.numpy_dtype))
+                validities.append(~null_mask if null_mask.any() else None)
+                continue
             if s.dtype == np.int32:
                 dt = DataType.INT32
             elif s.dtype == np.int64:

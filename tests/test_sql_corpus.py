@@ -43,9 +43,20 @@ def _setup():
         "v": np.array(["one", "two", "deux", "five", "eleven"], dtype=object),
     })
     empty_t = pd.DataFrame({"x": np.array([], dtype=np.int32)})
+    # NULL-heavy numeric table (round-3 corpus expansion: NULL semantics
+    # through arithmetic, aggregates, join keys, set ops)
+    nullnum = pd.DataFrame({
+        "i": np.array([1, None, 3, None, 5, 3, None, 8], dtype=object),
+        "f": np.array([0.5, 1.5, None, None, 2.5, None, 3.5, 4.5],
+                      dtype=object),
+        "g": np.array([1, 2, 3, 4, 5, 6, 7, 8], dtype=np.int32),
+    })
+    nullnum["i"] = pd.array(nullnum["i"], dtype="Int32")
+    nullnum["f"] = pd.array(nullnum["f"], dtype="Float64")
     tables = {"mixed": Table.from_pandas("mixed", mixed),
               "lookup": Table.from_pandas("lookup", lookup),
-              "empty_t": Table.from_pandas("empty_t", empty_t)}
+              "empty_t": Table.from_pandas("empty_t", empty_t),
+              "nullnum": Table.from_pandas("nullnum", nullnum)}
     cat = Catalog()
     for name, t in tables.items():
         cat.add_table(name, t)
