@@ -397,6 +397,8 @@ class DistributedCompiledQuery(CompiledQuery):
         self._decisions: Dict[int, str] = {}
         # per-join static hot-key lists (parallel/skew.py), pinned likewise
         self._hot_keys: Dict[int, np.ndarray] = {}
+        # JoinMPSM range-cluster splitters, pinned at first trace
+        self._splitters: Dict[int, np.ndarray] = {}
 
     # -- argument marshalling -------------------------------------------------
 
@@ -666,8 +668,48 @@ class DistributedCompiledQuery(CompiledQuery):
                 d = "broadcast"
             else:
                 d = "shuffle"
+        if d in ("shuffle", "broadcast") and type(op).__name__ == "JoinMPSM" \
+                and op.mode in _PROBE_PRESERVING:
+            # operator-selected MPSM (reference join_mpsm.cpp): VALUE-range
+            # clustering instead of hash partitioning, if the probe key's
+            # concrete distribution is readable for quantile splitters
+            pi = 1 if op.mode is JoinMode.RIGHT else 0
+            spl = self._mpsm_splitters(op, pi)
+            if spl is not None:
+                self._splitters[id(op)] = spl
+                d = "mpsm"
         self._decisions[id(op)] = d
         return d
+
+    def _mpsm_splitters(self, op: Join, pi: int) -> Optional[np.ndarray]:
+        """n_shards-1 quantile splitters of the probe key's concrete source
+        distribution — the value-cluster bounds of the reference's
+        radix_cluster_sort_numa (each shard ≈ one NUMA node receives one
+        contiguous key range). None when the distribution is unreadable."""
+        cached = self._splitters.get(id(op))
+        if cached is not None:
+            return cached
+        pcol = (op.left_col, op.right_col)[pi]
+        lin = self._lineage_source(op.inputs[pi], pcol)
+        if lin is None:
+            return None
+        src, scol = lin
+        c = src.column(scol)
+        if not c.dtype.is_integral:
+            return None
+        if isinstance(src, ShardedTable):
+            counts = np.asarray(src.counts)
+            data = np.asarray(c.data)
+            keys = (np.concatenate([data[s, :counts[s]]
+                                    for s in range(len(counts))])
+                    if len(counts) else np.empty(0, dtype=np.int64))
+        else:
+            keys = np.asarray(c.data[:src.num_rows])
+        if keys.size == 0:
+            return None
+        qs = np.quantile(keys.astype(np.int64),
+                         np.linspace(0, 1, self.n_shards + 1)[1:-1])
+        return qs.astype(np.int64)
 
     def _exec_join(self, op: Join, ins) -> Tuple[Table, Placement]:
         (lt, lp), (rt, rp) = ins
@@ -695,6 +737,35 @@ class DistributedCompiledQuery(CompiledQuery):
         # co-partitioned: both sides already placed by the join key
         if decision == "copart":
             return done(self._run_local(op, [lt, rt]), pcol)
+
+        # JoinMPSM (reference join_mpsm.cpp + radix_cluster_sort_numa):
+        # VALUE-range clustering — both sides route to the shard owning
+        # their key's range (quantile splitters of the probe distribution),
+        # so each shard ≈ one NUMA node joins one contiguous key cluster
+        # with the local sorted engine. Order-preserving routing is the
+        # clustered-sort analogue; equal keys always co-locate.
+        if decision == "mpsm":
+            spl = jnp.asarray(self._splitters[id(op)])
+            lk, rk = _promoted_keys(lt, rt, op.left_col, op.right_col)
+
+            def range_target(k):
+                if spl.size == 0:
+                    return jnp.zeros(k.shape, dtype=jnp.int32)
+                # number of splitters <= key: a handful of vectorized
+                # comparisons, no binary-search gather
+                return jnp.sum(k[..., None] >= spl, axis=-1) \
+                    .astype(jnp.int32)
+
+            def cluster(t_, p_, k_, lbl):
+                if p_.replicated:
+                    return localize_by_key(t_, k_, self.n_shards,
+                                           label=lbl, target=range_target(k_))
+                return repartition_sharded(t_, k_, self.n_shards,
+                                           label=lbl, target=range_target(k_))
+
+            lt2 = cluster(lt, lp, lk, "join.mpsm_l")
+            rt2 = cluster(rt, rp, rk, "join.mpsm_r")
+            return done(self._run_local(op, [lt2, rt2]), None)
 
         # build side replicated (or small enough to broadcast): probe rows
         # stay put — the reference's swap-rules analogue

@@ -40,6 +40,14 @@ def main():
                          "are STRUCTURE-SPECIFIC to this setting: harvest "
                          "seeds on CPU with --fastpath 1 when they will "
                          "seed a TPU run (kernels/tpu_prims.py fast_path).")
+    ap.add_argument("--encoding", choices=("none", "dictionary",
+                                           "run_length", "for"),
+                    default="none",
+                    help="at-rest encoding applied to every compatible "
+                         "column at ingest (EncodingConfig analogue, "
+                         "reference benchmark_utils.hpp:69-96). "
+                         "'dictionary' narrows string-code vectors to "
+                         "int8/int16 (astype-only decode, fused by XLA).")
     ap.add_argument("--cap-cache", default=None,
                     help="JSON file of learned capacity vectors per query "
                          "(plan/compiler.py oracle sites). The capacity "

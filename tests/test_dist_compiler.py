@@ -125,6 +125,54 @@ def test_shuffle_join_modes(mode):
     _check(cat, sc, plan, ordered=False)
 
 
+@pytest.mark.parametrize("mode", [JoinMode.INNER, JoinMode.LEFT,
+                                  JoinMode.RIGHT, JoinMode.SEMI,
+                                  JoinMode.ANTI])
+def test_mpsm_range_clustered_join(mode):
+    """JoinMPSM distributes as VALUE-range clustering (quantile splitters,
+    parallel/dist_compiler.py decision 'mpsm') — a distinct strategy from
+    the hash shuffle — and stays value-exact vs single-node (reference:
+    join_mpsm.cpp per-NUMA-node clustered sort-merge)."""
+    from hyrise_tpu.ops.join import JoinMPSM
+    cat, sc = _mini_env()
+
+    def plan(c):
+        return Sort(JoinMPSM(GetTable("other", c), GetTable("fact", c),
+                             mode, ("k", "k")), ["k", "w"])
+    dq = _check(cat, sc, plan, ordered=False)
+    join_ops = [op for op in dq.ops if type(op).__name__ == "JoinMPSM"]
+    assert dq._decisions[id(join_ops[0])] == "mpsm"
+    assert any("mpsm" in l for l in dq._labels), dq._labels
+
+
+def test_mpsm_skewed_keys_still_exact():
+    """Range clustering with a heavily skewed key distribution (quantile
+    splitters collapse onto the hot value) stays value-exact."""
+    from hyrise_tpu.ops.join import JoinMPSM
+    rng = np.random.default_rng(3)
+    n = 400
+    keys = np.where(rng.random(n) < 0.7, 7, rng.integers(0, 40, n))
+    left = Table.from_pandas("skl", pd.DataFrame({
+        "k": keys.astype(np.int64), "v": rng.normal(size=n)}))
+    right = Table.from_pandas("skr", pd.DataFrame({
+        "k": np.arange(0, 40, dtype=np.int64),
+        "w": rng.normal(size=40)}))
+    cat = Catalog()
+    cat.add_table("skl", left)
+    cat.add_table("skr", right)
+    mesh = make_mesh(8)
+    sc = ShardedCatalog(mesh)
+    sc.add_sharded("skl", left, "v")
+    sc.add_sharded("skr", right, "w")
+
+    def plan(c):
+        return Sort(JoinMPSM(GetTable("skl", c), GetTable("skr", c),
+                             JoinMode.INNER, ("k", "k")), ["k", "v"])
+    dq = _check(cat, sc, plan, ordered=False)
+    join_ops = [op for op in dq.ops if type(op).__name__ == "JoinMPSM"]
+    assert dq._decisions[id(join_ops[0])] == "mpsm"
+
+
 def test_copartitioned_join_stays_local():
     cat, sc = _mini_env()
 
