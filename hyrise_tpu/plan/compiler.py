@@ -260,11 +260,25 @@ class CompiledQuery:
 
     # -- argument marshalling -------------------------------------------------
 
+    @staticmethod
+    def _narrow_encoded(c) -> bool:
+        """Column whose at-rest form is a narrow code vector with an
+        astype-only decode (storage/encoding.py NarrowCodes without a value
+        dictionary — string columns): the compiled program takes the NARROW
+        array as its argument and upcasts in-program, so the at-rest HBM
+        footprint and scan bandwidth shrink to the encoded width."""
+        enc = getattr(c, "encoded", None)
+        if enc is None:
+            return False
+        from hyrise_tpu.storage.encoding import NarrowCodes
+        return isinstance(enc, NarrowCodes) and enc.dictionary is None
+
     def _flat_args(self) -> List[jax.Array]:
         args = []
         for t in self._sources:
             for c in t.columns:
-                args.append(c.data)
+                args.append(c.encoded.codes if self._narrow_encoded(c)
+                            else c.data)
                 if c.has_validity:
                     args.append(c.validity)
         return args
@@ -279,6 +293,15 @@ class CompiledQuery:
             for c in src.columns:
                 data = next(it)
                 validity = next(it) if c.has_validity else None
+                if self._narrow_encoded(c):
+                    # decode-in-program: lazy astype so untouched columns
+                    # cost nothing; XLA fuses the upcast into consumers
+                    cap = int(data.shape[0])
+                    data = (lambda d=data: d.astype(jnp.int32))
+                    cols.append(Column(c.name, c.dtype, data, validity,
+                                       c.dictionary, capacity_hint=cap,
+                                       unique=c.unique))
+                    continue
                 cols.append(Column(c.name, c.dtype, data, validity,
                                    c.dictionary, unique=c.unique))
             t = Table(cols, src.num_rows, name=src.name)

@@ -78,6 +78,15 @@ def main():
 
     t0 = time.time()
     tables = generate_tables(args.sf)
+    if args.encoding != "none":
+        from hyrise_tpu.storage.encoding import ChunkEncoder, EncodingType
+        spec = {"dictionary": EncodingType.DICTIONARY,
+                "run_length": EncodingType.RUN_LENGTH,
+                "for": EncodingType.FRAME_OF_REFERENCE}[args.encoding]
+        tables = {name: ChunkEncoder.encode_table(t, spec)
+                  for name, t in tables.items()}
+        print(f"encoded all tables at rest: {args.encoding}",
+              file=sys.stderr)
     cat = Catalog()
     for name, t in tables.items():
         cat.add_table(name, t)

@@ -112,3 +112,34 @@ def test_encoded_table_through_sql():
     ref = (SQLPipelineBuilder(sql).with_catalog(catp).create_pipeline()
            .get_result_table())
     assert_tables_equal(got.rows(), ref.rows(), ordered=True)
+
+
+def test_encoded_at_rest_whole_plan_compiled():
+    """Whole-plan compilation over encoded-at-rest tables: narrow string
+    code vectors are passed as the jit ARGUMENTS and upcast in-program
+    (plan/compiler.py _narrow_encoded), so the at-rest HBM footprint is
+    the encoded width. Results must match the unencoded eager engine."""
+    import os
+    from hyrise_tpu.ops.base import execute_plan
+    from hyrise_tpu.plan.compiler import CompiledQuery
+    from hyrise_tpu.storage.catalog import Catalog
+    from hyrise_tpu.storage.encoding import ChunkEncoder, EncodingType
+    from hyrise_tpu.tpch.dbgen import generate_tables
+    from hyrise_tpu.tpch.queries import TPCH_PLANS
+    from hyrise_tpu.utils.table_eq import assert_tables_equal
+
+    tables = generate_tables(0.005)
+    cat0, cat1 = Catalog(), Catalog()
+    for n, t in tables.items():
+        cat0.add_table(n, t)
+        cat1.add_table(n, ChunkEncoder.encode_table(
+            t, EncodingType.DICTIONARY))
+    for qid in (1, 6, 12):
+        ref = execute_plan(TPCH_PLANS[qid](cat0))
+        cq = CompiledQuery(TPCH_PLANS[qid](cat1), cat1)
+        out = cq.run()
+        out = cq.run()
+        assert_tables_equal(out.rows(), ref.rows(), ordered=True,
+                            rel_tol=1e-9)
+        assert any(a.dtype.itemsize < 4 for a in cq._flat_args()), \
+            "expected narrow encoded jit arguments"
