@@ -43,7 +43,8 @@ import numpy as np
 from hyrise_tpu.ops.base import AbstractOperator
 from hyrise_tpu.storage.column import Column, merge_dictionaries
 from hyrise_tpu.storage.table import Table
-from hyrise_tpu.types import DataType, JoinMode, PredicateCondition, bucket_capacity
+from hyrise_tpu.types import (ANTI_MODES, DataType, EXISTENCE_MODES, JoinMode,
+                              PredicateCondition, bucket_capacity)
 
 
 def _join_key_arrays(lt: Table, rt: Table, left_col: str, right_col: str):
@@ -201,7 +202,7 @@ class Join(AbstractOperator):
         (any build side), INNER/LEFT need a unique build key column."""
         if self.cond is not PredicateCondition.EQUALS:
             return False
-        if mode in (JoinMode.SEMI, JoinMode.ANTI):
+        if mode in EXISTENCE_MODES:
             return True
         if mode in (JoinMode.INNER, JoinMode.LEFT):
             try:
@@ -229,8 +230,17 @@ class Join(AbstractOperator):
         matched, bid = lookup_last_eq(rk, build_valid, lk)
         matched = matched & probe_valid
         self.performance_data.extra["lookup_join"] = True
-        if mode in (JoinMode.SEMI, JoinMode.ANTI):
+        if mode in EXISTENCE_MODES:
             keep = matched if mode is JoinMode.SEMI else (live & ~matched)
+            if mode is JoinMode.ANTI_NULL_AS_TRUE:
+                # NOT IN semantics (reference JoinMode::AntiNullAsTrue,
+                # types.hpp): a NULL probe key matches nothing provably
+                # (unless the set is empty — vacuous truth), and any NULL
+                # in the build set poisons every probe row
+                if lv is not None:
+                    keep = keep & (lv | ~jnp.any(b_live))
+                if rv is not None:
+                    keep = keep & ~jnp.any(b_live & ~rv)
             cnt = jnp.sum(keep)
             return Table(probe_t.columns, cnt if tracing() else int(cnt),
                          name=probe_t.name, live=keep)
@@ -285,12 +295,21 @@ class Join(AbstractOperator):
 
         from hyrise_tpu.plan.compiler import oracle_capacity, tracing
 
-        if mode in (JoinMode.SEMI, JoinMode.ANTI):
+        if mode in EXISTENCE_MODES:
             live = probe_t.live_mask()
             if mode is JoinMode.SEMI:
                 keep = (total_counts > 0) & live
-            else:
+            elif mode is JoinMode.ANTI:
                 keep = (total_counts == 0) & live  # NULL keys kept (no match)
+            else:  # ANTI_NULL_AS_TRUE (NOT IN): NULL probe keys rejected
+                # against a non-empty set, any NULL build key empties the
+                # result (types.hpp parity)
+                b_live = build_t.live_mask()
+                keep = (total_counts == 0) \
+                    & jnp.where(jnp.any(b_live), probe_valid, live)
+                bcol = build_t.column(self.right_col)
+                if bcol.validity is not None:
+                    keep = keep & ~jnp.any(b_live & ~bcol.validity)
             from hyrise_tpu.ops.materialize import filter_table
             return filter_table(probe_t, keep)
 
@@ -496,9 +515,14 @@ class JoinNestedLoop(AbstractOperator):
         pair = pair & lval[:, None] & rval[None, :]
         l_counts = jnp.sum(pair, axis=1)
 
-        if mode in (JoinMode.SEMI, JoinMode.ANTI):
+        if mode in EXISTENCE_MODES:
             keep = ((l_counts > 0) if mode is JoinMode.SEMI
                     else (l_counts == 0)) & lt.live_mask()
+            if mode is JoinMode.ANTI_NULL_AS_TRUE:  # NOT IN (types.hpp)
+                if lv is not None:
+                    keep = keep & (lv | ~jnp.any(rt.live_mask()))
+                if rv is not None:
+                    keep = keep & ~jnp.any(rt.live_mask() & ~rv)
             return filter_table(lt, keep)
 
         # matched pairs, flat left-major (deterministic output order)

@@ -67,8 +67,8 @@ from hyrise_tpu.plan.compiler import (CompiledQuery, CompileContext,
                                       oracle_capacity)
 from hyrise_tpu.storage.column import Column
 from hyrise_tpu.storage.table import Table
-from hyrise_tpu.types import (AggregateFunction, DataType, JoinMode,
-                              PredicateCondition)
+from hyrise_tpu.types import (ANTI_MODES, EXISTENCE_MODES, AggregateFunction,
+                              DataType, JoinMode, PredicateCondition)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -330,7 +330,7 @@ _ROW_PRESERVING = ("TableScan", "Projection", "Validate")
 # side may safely be replicated. OUTER also emits unmatched BUILD rows and
 # needs co-partitioning.
 _PROBE_PRESERVING = (JoinMode.INNER, JoinMode.LEFT, JoinMode.RIGHT,
-                     JoinMode.SEMI, JoinMode.ANTI)
+                     *EXISTENCE_MODES)
 
 BROADCAST_MAX_ROWS = 1 << 16
 

@@ -50,12 +50,12 @@ class CostModelLogical(AbstractCostModel):
             st = self._leaf_stats(node)
             return child * estimate_predicate_selectivity(st, node.predicate)
         if isinstance(node, L.JoinNode):
-            from hyrise_tpu.types import JoinMode
+            from hyrise_tpu.types import (ANTI_MODES, EXISTENCE_MODES, JoinMode)
             l = self.estimate_cardinality(node.children[0])
             r = self.estimate_cardinality(node.children[1])
             if node.mode is JoinMode.CROSS:
                 return l * r
-            if node.mode in (JoinMode.SEMI, JoinMode.ANTI):
+            if node.mode in EXISTENCE_MODES:
                 return l * 0.5
             return max(l, r)  # equi-join PK-FK assumption
         if isinstance(node, L.AggregateNode):

@@ -29,7 +29,7 @@ from hyrise_tpu.plan.optimizer import _output_columns
 from hyrise_tpu.plan.statistics import (TableStatistics,
                                         estimate_predicate_selectivity,
                                         merge_statistics)
-from hyrise_tpu.types import JoinMode, PredicateCondition
+from hyrise_tpu.types import (ANTI_MODES, EXISTENCE_MODES, JoinMode, PredicateCondition)
 
 
 @dataclasses.dataclass
@@ -84,7 +84,7 @@ class JoinOrderingRule:
         if isinstance(node, L.JoinNode):
             l = self._estimate_rows(node.children[0], catalog)
             r = self._estimate_rows(node.children[1], catalog)
-            if node.mode in (JoinMode.SEMI, JoinMode.ANTI):
+            if node.mode in EXISTENCE_MODES:
                 return max(l * 0.5, 1.0)
             if node.mode is JoinMode.CROSS:
                 return l * r

@@ -28,7 +28,7 @@ from hyrise_tpu.expression import ast
 from hyrise_tpu.plan import lqp as L
 from hyrise_tpu.plan.statistics import (TableStatistics,
                                         estimate_predicate_selectivity)
-from hyrise_tpu.types import JoinMode, PredicateCondition
+from hyrise_tpu.types import (ANTI_MODES, EXISTENCE_MODES, JoinMode, PredicateCondition)
 
 
 # ---------------------------------------------------------------------------
@@ -56,7 +56,7 @@ def _output_columns(node: L.LQPNode, catalog) -> Optional[List[str]]:
     if isinstance(node, L.JoinNode):
         l = _output_columns(node.children[0], catalog)
         r = _output_columns(node.children[1], catalog)
-        if node.mode in (JoinMode.SEMI, JoinMode.ANTI):
+        if node.mode in EXISTENCE_MODES:
             return l
         if l is None or r is None:
             return None
@@ -303,10 +303,10 @@ class PredicatePushdownRule:
                 return n
             if isinstance(child, L.JoinNode) and child.mode in (
                     JoinMode.INNER, JoinMode.CROSS, JoinMode.SEMI,
-                    JoinMode.ANTI):
+                    *ANTI_MODES):
                 lcols = _output_columns(child.children[0], catalog)
                 rcols = _output_columns(child.children[1], catalog)
-                if child.mode in (JoinMode.SEMI, JoinMode.ANTI):
+                if child.mode in EXISTENCE_MODES:
                     rcols = None  # only the probe side survives a semi/anti
                 if lcols is not None and needed <= set(lcols):
                     child.children[0] = L.PredicateNode(n.predicate,
@@ -338,7 +338,7 @@ class SemiJoinPushdownRule:
 
         def visit(n: L.LQPNode) -> L.LQPNode:
             if not (isinstance(n, L.JoinNode)
-                    and n.mode in (JoinMode.SEMI, JoinMode.ANTI)):
+                    and n.mode in EXISTENCE_MODES):
                 return n
             probe, build = n.children
             key = n.left_col

@@ -38,7 +38,7 @@ KEYWORDS = {
     "union", "all", "insert", "into", "values", "update", "set", "delete",
     "create", "drop", "view", "table", "asc", "desc", "prepare", "execute",
     "show", "tables", "columns", "int", "integer", "long", "bigint", "float",
-    "real", "double", "text", "string", "varchar",
+    "real", "double", "text", "string", "varchar", "any", "some",
 }
 
 
@@ -691,6 +691,33 @@ class Parser:
             return EUnary("not", self.parse_not())
         return self.parse_comparison()
 
+    def _quantified_to_exists(self, x, op, quant, sub):
+        """x OP ANY (SELECT c ...)  -> EXISTS(... WHERE x OP c)
+        x OP ALL (SELECT c ...)  -> NOT EXISTS(... WHERE x IS NULL
+                                      OR NOT(x OP c) OR c IS NULL)
+        Exact under WHERE-clause filtering (UNKNOWN == FALSE): the ALL form
+        keeps vacuous truth on empty sets and rejects rows where the
+        quantifier's value would be UNKNOWN (NULL x against a non-empty
+        set, or a NULL element that cannot be proven to satisfy OP)."""
+        if not isinstance(sub, SelectStmt) or len(sub.select) != 1 \
+                or sub.select[0][1] == "*":
+            raise SQLParseError(
+                "quantified comparison needs a single-column subquery")
+        c = sub.select[0][1]
+        if quant in ("any", "some"):
+            cond = EBinary(op, x, c)
+            negate = False
+        else:
+            cond = EBinary("or",
+                           EBinary("or", EIsNull(x),
+                                   EUnary("not", EBinary(op, x, c))),
+                           EIsNull(c))
+            negate = True
+        new_where = cond if sub.where is None \
+            else EBinary("and", sub.where, cond)
+        sub2 = dataclasses.replace(sub, where=new_where)
+        return EExists(sub2, negate=negate)
+
     def parse_comparison(self):
         e = self.parse_additive()
         while True:
@@ -698,6 +725,16 @@ class Parser:
                 op = self.take().value
                 if op == "!=":
                     op = "<>"
+                if self.at_kw("all", "any", "some"):
+                    # quantified comparison: rewrite to (NOT) EXISTS with
+                    # the comparison folded into the subquery's WHERE
+                    # (NULL-correct under WHERE's FALSE==UNKNOWN filtering)
+                    quant = self.take().value
+                    self.expect_op("(")
+                    sub = self.parse_select_compound()
+                    self.expect_op(")")
+                    e = self._quantified_to_exists(e, op, quant, sub)
+                    continue
                 rhs = self.parse_additive()
                 e = EBinary(op, e, rhs)
                 continue

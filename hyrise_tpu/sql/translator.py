@@ -473,13 +473,10 @@ class SQLToLQPTranslator:
                     sub_node = self._apply_conjunct(c, sub_node, sub_scope)
                 else:
                     residual.append(c)
-        if not corr:
-            if residual:
-                raise SQLTranslationError(
-                    "EXISTS subquery without equality correlation")
+        if not corr and not residual:
             # fully uncorrelated EXISTS: true iff the subquery is nonempty
             return self._exists_count_pred(sub_node, negate, node)
-        if not residual:
+        if corr and not residual:
             outer_col, inner_col = self._single_corr(corr, sub_node, sub_scope)
             mode = JoinMode.ANTI if negate else JoinMode.SEMI
             return L.JoinNode(mode, node, sub_node, outer_col, inner_col)
@@ -493,9 +490,15 @@ class SQLToLQPTranslator:
                 "cannot determine outer columns for EXISTS decorrelation")
         tagged = L.AliasNode(outer_cols + [rid], L.AddRowIdsNode(node),
                              sources=outer_cols + ["row_id"])
-        outer_col, inner_col = self._single_corr(corr, sub_node, sub_scope)
-        joined = L.JoinNode(JoinMode.INNER, tagged, sub_node, outer_col,
-                            inner_col)
+        if corr:
+            outer_col, inner_col = self._single_corr(corr, sub_node,
+                                                     sub_scope)
+            joined = L.JoinNode(JoinMode.INNER, tagged, sub_node, outer_col,
+                                inner_col)
+        else:
+            # correlation only through non-equality residuals (quantified
+            # comparisons): pair every outer row with every subquery row
+            joined = L.JoinNode(JoinMode.CROSS, tagged, sub_node)
         for c in residual:
             # resolve against sub_scope (falls back to outer scope through
             # the parent chain); all columns exist in the joined output
@@ -516,7 +519,10 @@ class SQLToLQPTranslator:
         sub_node, sub_cols = self._select_any(c.subquery, scope)
         if len(sub_cols) != 1:
             raise SQLTranslationError("IN subquery must return one column")
-        mode = JoinMode.ANTI if c.negate else JoinMode.SEMI
+        # NOT IN carries three-valued NULL semantics (NULL probe key or a
+        # NULL in the subquery result rejects the row): the reference's
+        # JoinMode::AntiNullAsTrue (types.hpp), distinct from NOT EXISTS
+        mode = JoinMode.ANTI_NULL_AS_TRUE if c.negate else JoinMode.SEMI
         return L.JoinNode(mode, node, sub_node, outer_col, sub_cols[0])
 
     def _correlation_pair(self, c, sub_scope: Scope, outer_scope: Scope
@@ -1021,6 +1027,14 @@ class SQLToLQPTranslator:
                 # args[0] is the field name literal injected by the parser
                 return ast.FunctionCall("extract", [
                     ast.Literal(e.args[0].value), rec(e.args[1])])
+            if e.name == "coalesce":
+                # COALESCE(a, b, ..., z) == CASE WHEN a IS NOT NULL THEN a
+                # WHEN b IS NOT NULL THEN b ... ELSE z END
+                if not e.args:
+                    raise SQLTranslationError("COALESCE needs arguments")
+                args = [rec(a) for a in e.args]
+                whens = [(ast.IsNull(a, True), a) for a in args[:-1]]
+                return ast.Case(whens, args[-1]) if whens else args[-1]
             raise SQLTranslationError(f"unknown function {e.name!r}")
         if isinstance(e, P.ESubquery):
             sub_lqp, cols = self._select_any(e.subquery, scope or Scope())

@@ -109,7 +109,13 @@ class JoinMode(enum.Enum):
     OUTER = "outer"
     CROSS = "cross"
     SEMI = "semi"
-    ANTI = "anti"
+    ANTI = "anti"                          # AntiNullAsFalse (NOT EXISTS)
+    ANTI_NULL_AS_TRUE = "anti_null_true"   # NOT IN: NULL key/probe rejects
+
+
+# existence joins emit a filtered probe side, never build columns
+EXISTENCE_MODES = (JoinMode.SEMI, JoinMode.ANTI, JoinMode.ANTI_NULL_AS_TRUE)
+ANTI_MODES = (JoinMode.ANTI, JoinMode.ANTI_NULL_AS_TRUE)
 
 
 class SortMode(enum.Enum):

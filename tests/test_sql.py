@@ -206,3 +206,50 @@ def test_groupby_expression(cat):
     out = run_sql("SELECT SUBSTR(s, 1, 1) AS c, COUNT(*) AS n FROM t "
                   "GROUP BY SUBSTR(s, 1, 1) ORDER BY c", cat)
     assert out.rows() == [("x", 2), ("y", 1), ("z", 1)]
+
+
+def test_quantified_comparisons(cat):
+    """ALL/ANY/SOME subquery comparisons (parser rewrite to EXISTS /
+    NOT EXISTS; sqlite cannot oracle these, so expectations are explicit).
+    t.a = [1,2,3,4]; u.k = [1,2,2,5]."""
+    out = run_sql("SELECT a FROM t WHERE a > ALL (SELECT k FROM u WHERE "
+                  "k < 3) ORDER BY a", cat)
+    assert [r[0] for r in out.rows()] == [3, 4]
+    # vacuous truth on an empty set
+    out = run_sql("SELECT a FROM t WHERE a > ALL (SELECT k FROM u WHERE "
+                  "k > 100) ORDER BY a", cat)
+    assert [r[0] for r in out.rows()] == [1, 2, 3, 4]
+    out = run_sql("SELECT a FROM t WHERE a = ANY (SELECT k FROM u) "
+                  "ORDER BY a", cat)
+    assert [r[0] for r in out.rows()] == [1, 2]
+    out = run_sql("SELECT a FROM t WHERE a >= SOME (SELECT k FROM u WHERE "
+                  "k = 5) ORDER BY a", cat)
+    assert [r[0] for r in out.rows()] == []
+    out = run_sql("SELECT a FROM t WHERE a <> ALL (SELECT k FROM u) "
+                  "ORDER BY a", cat)
+    assert [r[0] for r in out.rows()] == [3, 4]
+
+
+def test_not_in_null_semantics(cat):
+    """NOT IN against a subquery whose result (or probe key) is NULL —
+    JoinMode::AntiNullAsTrue parity (reference types.hpp)."""
+    nn = pd.DataFrame({
+        "i": pd.array([1, None, 3, None, 8], dtype="Int32"),
+        "g": np.array([1, 2, 3, 4, 5], dtype=np.int32)})
+    cat.add_table("nn", Table.from_pandas("nn", nn))
+    # NULL probe keys are rejected when the build set is non-empty
+    out = run_sql("SELECT g FROM nn WHERE i NOT IN (SELECT k FROM u WHERE "
+                  "k < 3) ORDER BY g", cat)
+    assert [r[0] for r in out.rows()] == [3, 5]
+    # ... but NOT IN an EMPTY set is vacuously TRUE even for NULL probes
+    out = run_sql("SELECT g FROM nn WHERE i NOT IN (SELECT k FROM u WHERE "
+                  "k > 100) ORDER BY g", cat)
+    assert [r[0] for r in out.rows()] == [1, 2, 3, 4, 5]
+    # a NULL in the build set poisons every row
+    out = run_sql("SELECT a FROM t WHERE a NOT IN (SELECT i FROM nn) "
+                  "ORDER BY a", cat)
+    assert out.rows() == []
+    # NOT EXISTS keeps plain ANTI semantics (NULL build keys ignored)
+    out = run_sql("SELECT a FROM t WHERE NOT EXISTS (SELECT 1 FROM nn "
+                  "WHERE nn.i = t.a) ORDER BY a", cat)
+    assert [r[0] for r in out.rows()] == [2, 4]

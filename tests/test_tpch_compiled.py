@@ -55,7 +55,7 @@ def test_tpch_compiled(qid):
                         abs_tol=1e-4)
 
 
-@pytest.mark.parametrize("qid", [1, 3, 6, 13, 18, 21])
+@pytest.mark.parametrize("qid", sorted(TPCH_SQL))
 def test_tpch_sql_compiled(qid):
     """SQL front end with whole-plan compiled execution
     (SQLPipelineBuilder.with_compiled_execution)."""
