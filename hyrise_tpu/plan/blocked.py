@@ -1,0 +1,227 @@
+"""Blocked (streaming) whole-plan execution: one fact table processed in
+fixed-shape row blocks through ONE compiled program, partial aggregates
+merged on the host side.
+
+The reference processes arbitrarily large tables chunk-at-a-time — every
+operator iterates Chunks of at most Chunk::MAX_SIZE rows
+(reference: src/lib/storage/chunk.hpp:44, table_scan.cpp per-chunk loops,
+aggregate.cpp per-chunk maps merged at the end). The whole-plan compiler
+(plan/compiler.py) instead materializes each table as ONE device array,
+which caps the largest processable scale at device HBM (and at SF10 shapes
+the one-program form has wedged the axon remote compile). This module is
+the chunk axis for the TPU design:
+
+- the plan's dominant fact table (largest capacity source) becomes the
+  STREAM table; every other table stays fully resident (dimension builds),
+- the plan is split at its top-level Aggregate: the subtree below runs
+  per block with the aggregate converted to its decomposable PARTIAL form
+  (SUM/COUNT/MIN/MAX; AVG -> SUM+COUNT — the same decomposition the
+  distributed compiler uses for its two-phase aggregates, and the
+  reference's per-chunk map -> merge in aggregate.cpp:437-541),
+- one fixed block shape means ONE compiled program serves every block
+  (XLA never sees the full-table shape), blocks execute sequentially on
+  the chip with the capacity oracle shared across blocks,
+- partials are concatenated (UnionAll) and finished with an eager final
+  aggregate + AVG finisher projection, then the original post-aggregate
+  tail (Sort / Projection / Limit / Alias) runs eagerly on the merged
+  result.
+
+Reduction-order policy: blocked execution folds block partials in block
+order — a coarser documented tree than the single-program blocked-tree
+reduction (ARCHITECTURE.md); scripts/reference_compare.py measures both
+against the sequential oracle.
+
+Supported shape: root = [tail ops]* -> Aggregate(subtree containing the
+stream table exactly once). Anything else raises PlanNotCompilable — the
+non-blocked compiler remains the general path.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from hyrise_tpu.plan.compiler import CompiledQuery, PlanNotCompilable, _walk
+from hyrise_tpu.types import AggregateFunction
+
+_TAIL_OPS = ("Sort", "Projection", "Limit", "Alias")
+
+
+def _decompose(aggregates):
+    """original (name, AggregateExpr) list ->
+    (partial_specs, final_specs, finish_cols) for two-phase execution."""
+    from hyrise_tpu.expression.ast import AggregateExpr, col
+
+    partial_specs: List[Tuple[str, object]] = []
+    final_specs: List[Tuple[str, object]] = []
+    finish_cols: List[object] = []  # str passthrough or (name, expr)
+    F = AggregateFunction
+    for name, ae in aggregates:
+        if getattr(ae, "distinct", False):
+            raise PlanNotCompilable(
+                f"blocked execution: {name} is DISTINCT (not decomposable)")
+        if ae.fn is F.AVG:
+            s, c = name + "__bsum", name + "__bcnt"
+            partial_specs += [(s, AggregateExpr(F.SUM, ae.arg)),
+                              (c, AggregateExpr(F.COUNT, ae.arg))]
+            final_specs += [(s, AggregateExpr(F.SUM, col(s))),
+                            (c, AggregateExpr(F.SUM, col(c)))]
+            finish_cols.append((name, col(s) / col(c)))
+        elif ae.fn in (F.SUM, F.COUNT):
+            partial_specs.append((name, ae))
+            final_specs.append((name, AggregateExpr(F.SUM, col(name))))
+            finish_cols.append(name)
+        elif ae.fn in (F.MIN, F.MAX):
+            partial_specs.append((name, ae))
+            final_specs.append((name, AggregateExpr(ae.fn, col(name))))
+            finish_cols.append(name)
+        else:
+            raise PlanNotCompilable(
+                f"blocked execution: {ae.fn} not decomposable")
+    return partial_specs, final_specs, finish_cols
+
+
+class BlockedCompiledQuery(CompiledQuery):
+    """CompiledQuery over row blocks of one stream table.
+
+    cq = BlockedCompiledQuery(TPCH_PLANS[1](cat), cat, block_rows=1 << 22)
+    table = cq.run()   # compiles ONE block-shaped program, loops blocks
+    """
+
+    def __init__(self, root, catalog=None, stream_table: Optional[str] = None,
+                 block_rows: int = 1 << 22):
+        from hyrise_tpu.ops.aggregate import Aggregate
+
+        # locate the top-level aggregate under a chain of tail ops
+        self._orig_root = root
+        parent, node = None, root
+        while node.name in _TAIL_OPS and len(node.inputs) == 1:
+            parent, node = node, node.inputs[0]
+        if not isinstance(node, Aggregate):
+            raise PlanNotCompilable(
+                "blocked execution needs a top-level Aggregate "
+                f"(found {node.name})")
+        self._tail_parent = parent
+        self._orig_agg = node
+        (partial_specs, self._final_specs,
+         self._finish_cols) = _decompose(node.aggregates)
+        self._groupby = list(node.groupby)
+        partial_agg = Aggregate(node.inputs[0], node.groupby, partial_specs)
+
+        super().__init__(partial_agg, catalog)
+
+        # pick the stream table: the largest source, referenced exactly once
+        from hyrise_tpu.ops.get_table import GetTable, TableWrapper
+        if stream_table is not None:
+            cands = [t for t in self._sources if t.name == stream_table]
+            if not cands:
+                raise PlanNotCompilable(f"no source named {stream_table}")
+            self._stream = cands[0]
+        else:
+            self._stream = max(self._sources, key=lambda t: t.capacity)
+        refs = 0
+        for op in self.ops:
+            if isinstance(op, GetTable) and \
+                    op.table_name == self._stream.name:
+                refs += 1
+            elif isinstance(op, TableWrapper) and op.table is self._stream:
+                refs += 1
+        if refs != 1:
+            raise PlanNotCompilable(
+                f"stream table {self._stream.name} referenced {refs} times "
+                "(blocked execution is only row-distributive over a single "
+                "occurrence)")
+        self.block_rows = min(block_rows, self._stream.capacity)
+        if self._stream.capacity % self.block_rows:
+            raise PlanNotCompilable(
+                "block_rows must divide the stream capacity "
+                f"({self._stream.capacity} % {self.block_rows})")
+        self._block_lo = 0
+        self._block_live = self.block_rows
+        self.n_blocks = -(-self._stream.num_rows // self.block_rows)
+
+    # -- per-block argument slicing ---------------------------------------
+
+    def _flat_args(self):
+        args = []
+        lo, B = self._block_lo, self.block_rows
+        for t in self._sources:
+            stream = t is self._stream
+            for c in t.columns:
+                data = (c.encoded.codes if self._narrow_encoded(c)
+                        else c.data)
+                if stream:
+                    data = jax.lax.slice_in_dim(data, lo, lo + B)
+                args.append(data)
+                if c.has_validity:
+                    v = c.validity
+                    if stream:
+                        v = jax.lax.slice_in_dim(v, lo, lo + B)
+                    args.append(v)
+        # traced per-block live row count (the last block is partial); one
+        # extra scalar arg keeps every block on the SAME compiled program
+        args.append(jnp.asarray(self._block_live, dtype=jnp.int64))
+        return args
+
+    def _rebuild_tables(self, flat, ctx):
+        from hyrise_tpu.storage.column import Column
+        from hyrise_tpu.storage.table import Table
+
+        n_stream = flat[-1]
+        it = iter(flat[:-1])
+        for src in self._sources:
+            cols = []
+            for c in src.columns:
+                data = next(it)
+                validity = next(it) if c.has_validity else None
+                if self._narrow_encoded(c):
+                    cap = int(data.shape[0])
+                    data = (lambda d=data: d.astype(jnp.int32))
+                    cols.append(Column(c.name, c.dtype, data, validity,
+                                       c.dictionary, capacity_hint=cap,
+                                       unique=c.unique))
+                    continue
+                cols.append(Column(c.name, c.dtype, data, validity,
+                                   c.dictionary, unique=c.unique))
+            n = n_stream if src is self._stream else src.num_rows
+            ctx.table_subst[id(src)] = Table(cols, n, name=src.name)
+
+    # -- blocked run -------------------------------------------------------
+
+    def run(self, tighten: bool = False):
+        """Run every block through the (shared) compiled partial program,
+        then merge + finish + tail eagerly. `tighten` is forced off so the
+        capacity vector stays monotone across blocks (a tighten from a
+        sparse block would force a retrace on the next dense one)."""
+        n = self._stream.num_rows
+        B = self.block_rows
+        partials = []
+        for b in range(self.n_blocks):
+            self._block_lo = b * B
+            self._block_live = min(B, n - b * B)
+            partials.append(super().run(tighten=False))
+        return self._merge_and_finish(partials)
+
+    def _merge_and_finish(self, partial_tables):
+        from hyrise_tpu.ops.aggregate import Aggregate
+        from hyrise_tpu.ops.base import execute_plan
+        from hyrise_tpu.ops.get_table import TableWrapper
+        from hyrise_tpu.ops.misc import UnionAll
+        from hyrise_tpu.ops.projection import Projection
+
+        node = TableWrapper(partial_tables[0])
+        for t in partial_tables[1:]:
+            node = UnionAll(node, TableWrapper(t))
+        final = Aggregate(node, self._groupby, self._final_specs)
+        node = Projection(final, list(self._groupby) + self._finish_cols)
+        if self._tail_parent is None:
+            root = node
+        else:
+            self._tail_parent.inputs[0] = node
+            root = self._orig_root
+        for op in _walk(root):
+            op.clear_output()
+        return execute_plan(root)

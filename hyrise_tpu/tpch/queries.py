@@ -400,7 +400,11 @@ def q11(cat):
         ps, [], [("t", sum_(col("ps_supplycost") * col("ps_availqty")))]))
     agg = Aggregate(ps, ["ps_partkey"], [
         ("value", sum_(col("ps_supplycost") * col("ps_availqty")))])
-    flt = TableScan(agg, col("value") > lit(float(total) * 0.0001))
+    # SUM over zero rows is NULL: `value > NULL` is UNKNOWN, so the HAVING
+    # keeps nothing (can happen at tiny scale factors with no GERMANY
+    # suppliers) — +inf as the threshold reproduces the empty result
+    threshold = float("inf") if total is None else float(total) * 0.0001
+    flt = TableScan(agg, col("value") > lit(threshold))
     return Sort(flt, [("value", DESC)])
 
 

@@ -27,10 +27,16 @@ def main():
     ap.add_argument("--queries", default=None,
                     help="comma-separated query ids (default: all 22)")
     ap.add_argument("--via", choices=("plans", "sql", "compiled",
-                                      "sql-compiled"), default="plans",
+                                      "sql-compiled", "blocked"),
+                    default="plans",
                     help="hand-built physical plans (eager), the full SQL "
-                         "pipeline, or whole-plan jit compilation "
-                         "(plan/compiler.py: ONE device program per query)")
+                         "pipeline, whole-plan jit compilation "
+                         "(plan/compiler.py: ONE device program per query), "
+                         "or blocked streaming execution (plan/blocked.py: "
+                         "the fact table in fixed row blocks through one "
+                         "block-shaped program — the SF>=10 chunk axis)")
+    ap.add_argument("--block-rows", type=int, default=1 << 22,
+                    help="rows per stream block for --via blocked")
     ap.add_argument("--cpu", action="store_true",
                     help="force the host CPU backend (the axon TPU tunnel "
                          "makes eager per-op dispatch compile-bound)")
@@ -147,8 +153,19 @@ def main():
                         json.dump(cap_cache, f)
                 return res
             return run
-    elif args.via == "compiled":
-        from hyrise_tpu.plan.compiler import CompiledQuery
+    elif args.via in ("compiled", "blocked"):
+        if args.via == "blocked":
+            from hyrise_tpu.plan.blocked import BlockedCompiledQuery \
+                as CompiledQuery
+
+            def make_cq(qid):
+                return CompiledQuery(TPCH_PLANS[qid](cat), cat,
+                                     block_rows=args.block_rows)
+        else:
+            from hyrise_tpu.plan.compiler import CompiledQuery
+
+            def make_cq(qid):
+                return CompiledQuery(TPCH_PLANS[qid](cat), cat)
 
         cqs = {}
         cap_cache = {}
@@ -162,7 +179,7 @@ def main():
             def run():
                 cq = cqs.get(qid)
                 if cq is None:
-                    cq = CompiledQuery(TPCH_PLANS[qid](cat), cat)
+                    cq = make_cq(qid)
                     seed = cap_cache.get(qid)
                     if isinstance(seed, dict):  # v2: caps + gather sets
                         cq.caps[:] = [int(c) for c in seed.get("caps", [])]
