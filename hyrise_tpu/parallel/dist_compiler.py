@@ -504,7 +504,16 @@ class DistributedCompiledQuery(CompiledQuery):
     def _counts_host(self, counts) -> np.ndarray:
         # [n_shards, sites] -> per-site max: ANY shard overflowing retries
         arr = np.asarray(counts)
+        if arr.ndim == 2:
+            # per-shard intermediate-row counts: the runtime load signal the
+            # PlacementManager polls (ChunkAccessCounter analogue,
+            # parallel/placement.py)
+            self.last_shard_counts = arr
         return arr.max(axis=0) if arr.size else arr.reshape(0)
+
+    def sharded_source_names(self):
+        from hyrise_tpu.parallel.partition import ShardedTable
+        return [t.name for t in self._sources if isinstance(t, ShardedTable)]
 
     # -- distributed execution (trace time) -----------------------------------
 

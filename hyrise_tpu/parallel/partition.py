@@ -74,7 +74,19 @@ def hash_partition(table: Table, key_col: str, mesh: Mesh,
     # uses murmur2 for the same purpose, utils/murmur_hash.hpp:12-18).
     # Routed by the native C++ kernel when available (native/).
     target = native.hash_partition(key, n)
-    counts, order = native.radix_route(target, n)
+    return partition_by_targets(table, target, mesh, n, key_col)
+
+
+def partition_by_targets(table: Table, target: np.ndarray, mesh: Mesh,
+                         n_shards: Optional[int] = None,
+                         partition_key: Optional[str] = None) -> ShardedTable:
+    """Partition by an explicit per-row shard target (the custom-router form:
+    hot-key splitting, runtime migration — parallel/placement.py)."""
+    from hyrise_tpu import native
+
+    n = n_shards if n_shards is not None else mesh.devices.size
+    rows = table.num_rows
+    counts, order = native.radix_route(np.asarray(target, dtype=np.int32), n)
     shard_cap = bucket_capacity(int(counts.max()) if rows else 1)
     offsets = np.concatenate([[0], np.cumsum(counts)])
 
@@ -98,4 +110,4 @@ def hash_partition(table: Table, key_col: str, mesh: Mesh,
     counts_dev = jax.device_put(counts.astype(np.int32),
                                 NamedSharding(mesh, P()))
     return ShardedTable(cols, counts_dev, rows, mesh, name=table.name,
-                        partition_key=key_col)
+                        partition_key=partition_key)
