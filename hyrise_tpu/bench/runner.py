@@ -60,13 +60,21 @@ class BenchmarkRunner:
         cfg = self.config
         if cfg.mode == "individual":
             for name in self.queries:
-                for _ in range(cfg.warmup_runs):
-                    self._run_one(name)
-                t_start = time.time()
-                for _ in range(cfg.max_runs):
-                    if time.time() - t_start > cfg.max_duration_s:
-                        break
-                    self.results[name].append(self._run_one(name))
+                try:
+                    for _ in range(cfg.warmup_runs):
+                        self._run_one(name)
+                    t_start = time.time()
+                    for _ in range(cfg.max_runs):
+                        if time.time() - t_start > cfg.max_duration_s:
+                            break
+                        self.results[name].append(self._run_one(name))
+                except Exception as e:  # one query must not kill the suite
+                    # (the axon remote-compile helper can die mid-suite;
+                    # the merged report keeps whatever finished)
+                    self.results[name].clear()
+                    print(f"{name}: FAILED {type(e).__name__}: "
+                          f"{str(e)[:200]}")
+                    continue
                 if cfg.verbose:
                     m = np.median(self.results[name]) * 1e3
                     print(f"{name}: median {m:.2f}ms over "

@@ -98,9 +98,13 @@ class FusedFilterAggregate(AbstractOperator):
 
         groupby = list(self.groupby)
 
-        def compute(env, num_rows):
+        def compute(env, live):
+            # `live` is the table's FULL liveness mask (live_mask()), not a
+            # prefix length: post-join masked layouts have live rows
+            # scattered through the capacity (the bug class: a prefix
+            # assumption here silently aggregated dead rows whenever the
+            # input had not been compacted)
             cap = env[required[0]][0].shape[0]
-            live = jnp.arange(cap) < num_rows
             if pred_ce is not None:
                 d, v = pred_ce.fn(env)
                 mask = d.astype(bool)
@@ -174,7 +178,7 @@ class FusedFilterAggregate(AbstractOperator):
             return outs
 
         self._compute = compute  # raw traceable form for whole-plan compile
-        self._jitted = jax.jit(compute, static_argnames=("num_rows",))
+        self._jitted = jax.jit(compute)
         self._meta = (sizes, n_cells, agg_specs, required)
 
     def _fallback(self, table: Table, context) -> Table:
@@ -211,9 +215,9 @@ class FusedFilterAggregate(AbstractOperator):
         if compiler.active() is not None:
             # inside a whole-plan trace: inline the raw computation (the
             # enclosing program is the jit boundary; num_rows may be traced)
-            outs = self._compute(env, jnp.asarray(table.num_rows))
+            outs = self._compute(env, table.live_mask())
         else:
-            outs = self._jitted(env, num_rows=table.num_rows)
+            outs = self._jitted(env, table.live_mask())
         counts, aggs = outs[0], outs[1:]
 
         if sizes:

@@ -1,37 +1,34 @@
 """TPU-tuned primitive formulations for the irregular-memory operations.
 
-Measured on a TPU v5e (differenced-chain protocol, 1M rows; see bench notes
-in ARCHITECTURE.md): XLA's direct lowerings of gather/scatter/binary-search
-are 1-2 orders of magnitude off roofline, while SORT is near roofline —
-the opposite of CPU intuition:
+Two generations of measurements (v5e behind the axon remote-compile tunnel)
+shape this module:
 
-    jnp.searchsorted(1M in 1M)       473 ms     lax.sort (2M, 3 operands)  ~4 ms
-    jnp.nonzero(1M)                   73 ms     lax.sort multi-payload     ~2 ms
-    jax.ops.segment_sum f64->8        69 ms     masked blocked f64 sums    ~0 ms
-    jnp.take(1M random)               20 ms     (per gathered column)
+Round 2 (RUNTIME, differenced chains at 1M rows): XLA's gather/scatter/
+binary-search lowerings sat 1-2 orders off roofline while sort ran near it,
+so everything pointer-ish became sorts + scans.
 
-So on TPU every "pointer-ish" primitive is reformulated as sorts + scans +
-dense blocked reductions (the canonical vector-machine treatment — sorting
-networks map onto the VPU; gathers serialize):
+Round 3 (COMPILE time at TPC-H SF1 shapes, 8.4M rows): the remote compile
+helper is the real constraint —
 
-- `compact`: selection compaction (the PosList materialization) as ONE
-  multi-operand stable sort moving all payload columns together, instead of
-  nonzero + per-column gathers.
-- `rank_in_sorted`: the sorted-build probe (reference JoinHash probe /
-  searchsorted) as a merged sort of build+probe keys: a probe row's rank
-  among build keys = its merged position minus its probe-rank, recovered in
-  probe order by a second sort (no scatter).
-- `segment_reduce_cells`: few-group segmented reduction (group-by with a
-  small group space) as per-cell masked blocked reductions — exact f64, no
-  scatter.
-- `segment_sums_sorted`: many-group segmented sums over group-sorted rows as
-  cumsum + boundary differences (exact for ints; for floats the error is
-  bounded by eps * total, documented) instead of 64-bit scatter-add.
+    flat cumsum/cummax/associative_scan : 300s+ compile; two table-scale
+        cumulative ops in one program OOM-kill the helper (SIGKILL)
+    lax.sort (2 operands, 10.5M)        : ~50s compile, ~10ms run
+    jnp.take / scatter (8.4M)           : ~1s compile, ~60ms run
+    triangular-matmul prefix sums       : ~3s compile, MXU-rate run
+
+and a re-measured native take costs ~7ns/row — 3x better than the round-2
+number and output-size-proportional. The production tier is therefore
+COMPILE-LEAN: direct-address LUT probes (scatter+take) for bounded integer
+equi-joins, native takes for all materialization (they run at OUTPUT size
+after compaction), exact MXU triangular-matmul prefix sums/counts for every
+rank/offset/segment computation, and deterministic scatter-add/min/max for
+segmented reductions. lax.sort remains ONLY where ordering is semantic
+(Sort operator, group-by run detection, the merged-sort probe fallback for
+unbounded/float keys).
 
 Every primitive keeps a reference implementation (the plain XLA lowering)
-used on CPU, where gathers are cheap and sorts are the expensive path; the
-choice is `fast_path()`, overridable with HYRISE_TPU_FASTPATH=0/1 so tests
-exercise both on the CPU mesh.
+used on CPU; the choice is `fast_path()`, overridable with
+HYRISE_TPU_FASTPATH=0/1 so tests exercise both on the CPU mesh.
 """
 
 from __future__ import annotations
@@ -150,10 +147,9 @@ def compact_indices(mask: jax.Array, cap: int) -> jax.Array:
     entries; the tail is dead and masked by the caller's count)."""
     if not fast_path():
         return jnp.nonzero(mask, size=cap, fill_value=0)[0].astype(jnp.int32)
-    key = (~mask).astype(jnp.int8)
-    pos = jnp.arange(mask.shape[0], dtype=jnp.int32)
-    _, sel = jax.lax.sort((key, pos), num_keys=1, is_stable=True)
-    return _fit(sel, cap)
+    # scatter form: a 2-lane stable sort costs ~50s of remote compile at
+    # 8.4M rows; prefix_count + scatter compiles in seconds (module header)
+    return positions_of_true(mask, cap)
 
 
 def _fit(a: jax.Array, cap: int) -> jax.Array:
@@ -168,13 +164,84 @@ def _fit(a: jax.Array, cap: int) -> jax.Array:
 def compact(mask: jax.Array, arrays: Sequence[jax.Array],
             cap: int) -> List[jax.Array]:
     """Compact every array to the True rows of `mask` (stable), truncated /
-    padded to cap. ONE multi-operand sort moves all payloads together."""
-    if not fast_path():
-        sel = jnp.nonzero(mask, size=cap, fill_value=0)[0].astype(jnp.int32)
-        return [jnp.take(a, sel, axis=0) for a in arrays]
-    key = (~mask).astype(jnp.int8)
-    outs = sort_with_payloads((key,), arrays, is_stable=True)
-    return [_fit(o, cap) for o in outs]
+    padded to cap. compact_indices + output-sized takes: the round-2
+    multi-operand sort form cost ~50s of remote compile per site; the
+    takes compile in ~1s and touch only cap rows per column."""
+    sel = compact_indices(mask, cap)
+    return [jnp.take(a, sel, axis=0) for a in arrays]
+
+
+# ---------------------------------------------------------------------------
+# prefix counts (MXU triangular-matmul formulation)
+#
+# Remote-TPU compile cost measurements (v5e behind the axon tunnel, 8.4M
+# rows) that shape EVERYTHING below:
+#   flat jnp.cumsum / cummax / associative_scan : 300s+ compile, and two in
+#       one program OOM-kill the remote compile helper (SIGKILL/SIGSEGV)
+#   blocked (n/512, 512) two-level scans        : ~75-150s compile each
+#   jax.lax.sort (2 operands)                   : ~50s compile, ~10ms run
+#   jnp.take / scatter                          : ~1s compile, ~7ns/row run
+#   triangular-matmul prefix sum (below)        : ~3s compile, MXU-rate run
+# Cumulative ops must therefore NEVER appear at table scale in a compiled
+# program; flag-counting prefix sums run on the MXU instead.
+
+_PFX_BLOCK = 512
+
+
+def prefix_count_mxu(flags: jax.Array) -> jax.Array:
+    """Inclusive prefix sum of a 0/1 (bool/int) vector, exact, as two
+    lower-triangular f32 matmuls + a tiny float64 block-carry cumsum.
+    Within-block sums are <= 512 (exact in f32); block carries accumulate
+    in f64 (exact below 2^53 rows). Returns int32."""
+    n = int(flags.shape[0])
+    nb = -(-n // _PFX_BLOCK)
+    pad = nb * _PFX_BLOCK - n
+    x = jnp.pad(flags.astype(jnp.float32), (0, pad)).reshape(nb, _PFX_BLOCK)
+    L = jnp.triu(jnp.ones((_PFX_BLOCK, _PFX_BLOCK), jnp.float32))
+    within = jax.lax.dot_general(x, L, (((1,), (0,)), ((), ())),
+                                 precision=jax.lax.Precision.HIGHEST)
+    totals = within[:, -1].astype(jnp.float64)
+    carry = jnp.concatenate([jnp.zeros((1,), jnp.float64),
+                             jnp.cumsum(totals)[:-1]])  # tiny: n/512 elems
+    out = (within.astype(jnp.float64) + carry[:, None]).reshape(-1)[:n]
+    return out.astype(jnp.int32)
+
+
+def prefix_sum_i32_mxu(values: jax.Array) -> jax.Array:
+    """Inclusive prefix sum of non-negative int32 values (< 2^24 each),
+    exact, compile-lean: each value splits into 12-bit halves, each half's
+    within-block prefix runs as an f32 triangular matmul (512 * 2^12 =
+    2^21 < 2^24 stays exact), halves recombine in int64, and the tiny
+    block-carry cumsum runs in int64. Returns int64."""
+    n = int(values.shape[0])
+    nb = -(-n // _PFX_BLOCK)
+    pad = nb * _PFX_BLOCK - n
+    v = jnp.pad(values.astype(jnp.int32), (0, pad)).reshape(nb, _PFX_BLOCK)
+    L = jnp.triu(jnp.ones((_PFX_BLOCK, _PFX_BLOCK), jnp.float32))
+
+    def tri(x):
+        return jax.lax.dot_general(x.astype(jnp.float32), L,
+                                   (((1,), (0,)), ((), ())),
+                                   precision=jax.lax.Precision.HIGHEST)
+
+    lo12 = tri(v & 0xFFF)
+    hi12 = tri(v >> 12)
+    within = (lo12.astype(jnp.int64)
+              + (hi12.astype(jnp.int64) << 12))
+    totals = within[:, -1]
+    carry = jnp.concatenate([jnp.zeros((1,), jnp.int64),
+                             jnp.cumsum(totals)[:-1]])  # tiny: n/512
+    return (within + carry[:, None]).reshape(-1)[:n]
+
+
+def positions_of_true(mask: jax.Array, cap: int) -> jax.Array:
+    """Indices of True positions in order, padded to cap (scatter form of
+    compact_indices: compile-cheap where a sort costs ~50s remotely)."""
+    c = prefix_count_mxu(mask)
+    pos = jnp.arange(mask.shape[0], dtype=jnp.int32)
+    tgt = jnp.where(mask, c - 1, jnp.int32(cap))  # OOB rows drop
+    return jnp.zeros(cap, jnp.int32).at[tgt].set(
+        pos, mode="drop", unique_indices=True)
 
 
 # ---------------------------------------------------------------------------
@@ -183,63 +250,23 @@ def compact(mask: jax.Array, arrays: Sequence[jax.Array],
 
 def gather_columns_via_sort(sources: Sequence[jax.Array],
                             indices: jax.Array) -> List[jax.Array]:
-    """out[j][i] = sources[j][indices[i]] for every source column (all
-    share `indices`), with NO XLA gather: merge-sort + forward-fill +
-    back-sort.
+    """out[j][i] = sources[j][indices[i]] for every source column.
 
-    XLA's gather lowering serializes (~20 ms per 1M-row column on v5e,
-    module docstring) while sorts run near roofline, so the k-column
-    materialization of a join output is reformulated as:
-
-      1. ONE sort of the merged (source positions, query indices) keys —
-         packed (key<<1 | is_query) int64 so source row k lands
-         immediately before the queries asking for k; all k source
-         columns ride as pairwise-packed payload lanes (zeros for query
-         rows).
-      2. A forward fill (associative scan) propagating each source row's
-         payload onto the query rows behind it.
-      3. ONE back-sort by query id restoring request order (source rows
-         carry qid = M and fall off the tail).
-
-    Cost is ~2 sorts + 1 scan of (N+M) rows TOTAL for all k columns,
-    vs k serialized gathers. Requires indices in [0, N); callers keep
-    dead-row indices at 0 (in range) per the capacity-bucket convention.
-    """
-    if not fast_path():
-        return [jnp.take(s, indices, axis=0) for s in sources]
-    n = int(sources[0].shape[0])
-    m = int(indices.shape[0])
-    pk = jnp.concatenate([
-        jnp.arange(n, dtype=jnp.int64) << 1,
-        (indices.astype(jnp.int64) << 1) | jnp.int64(1)])
-    qid = jnp.concatenate([jnp.full((n,), m, dtype=jnp.int32),
-                           jnp.arange(m, dtype=jnp.int32)])
-    payloads = [jnp.concatenate([s, jnp.zeros((m,), dtype=s.dtype)])
-                for s in sources]
-    packed, recipe = _pack_payloads(payloads)
-    outs = jax.lax.sort((pk, qid) + tuple(packed), num_keys=1,
-                        is_stable=False)
-    spk, sqid, slanes = outs[0], outs[1], outs[2:]
-    is_source = (spk & jnp.int64(1)) == 0
-
-    def combine(a, b):
-        av, al = a[0], a[1:]
-        bv, bl = b[0], b[1:]
-        return (av | bv,) + tuple(
-            jnp.where(bv, bx, ax) for ax, bx in zip(al, bl))
-
-    filled = jax.lax.associative_scan(combine, (is_source,) + tuple(slanes))
-    back = jax.lax.sort((sqid,) + tuple(filled[1:]), num_keys=1,
-                        is_stable=False)
-    lanes_m = [jax.lax.slice_in_dim(o, 0, m) for o in back[1:]]
-    return _unpack_payloads(lanes_m, recipe)
+    HISTORY: round 2 formulated this as merge-sort + forward-fill +
+    back-sort because an eager jnp.take then measured ~20ms per 1M rows.
+    Round-3 remeasurement through the salted-chain protocol puts a native
+    take at ~7ns/row with a ~1s compile, while the sort+scan form costs
+    two ~50s-compile sorts plus a cumulative scan that OOM-kills the
+    remote compile helper at 8.4M rows (module header). Since every
+    caller gathers at OUTPUT size (post-compaction), native takes win on
+    both axes; the name survives for its call sites."""
+    idx = indices.astype(jnp.int32)
+    return [jnp.take(s, idx, axis=0) for s in sources]
 
 
 def take_1d(a: jax.Array, indices: jax.Array) -> jax.Array:
-    """Single-column a[indices]; sort-formulated on the TPU fast path."""
-    if not fast_path():
-        return jnp.take(a, indices, axis=0)
-    return gather_columns_via_sort([a], indices)[0]
+    """Single-column a[indices] (native take; see gather_columns_via_sort)."""
+    return jnp.take(a, indices.astype(jnp.int32), axis=0)
 
 
 # ---------------------------------------------------------------------------
@@ -263,7 +290,7 @@ def rank_in_sorted(sorted_keys: jax.Array, queries: jax.Array,
                           query_tag + jnp.arange(nq, dtype=jnp.int64)])
     _, stq = jax.lax.sort((keys, tq), num_keys=2, is_stable=False)
     is_q = (stq >> 40) == (query_tag >> 40)
-    q_upto = jnp.cumsum(is_q.astype(jnp.int32))  # queries among first i+1
+    q_upto = prefix_count_mxu(is_q)  # queries among first i+1
     rank = jnp.arange(1, nb + nq + 1, dtype=jnp.int32) - q_upto
     qid = jnp.where(is_q, stq & jnp.int64((1 << 40) - 1),
                     jnp.int64(nq) + jnp.arange(nb + nq, dtype=jnp.int64))
@@ -299,7 +326,7 @@ def ranks_lo_hi(sorted_keys: jax.Array,
         (jnp.int64(2) << 40) + iq])                              # hi: after
     _, stq = jax.lax.sort((keys, tq), num_keys=2, is_stable=False)
     is_q = (stq >> 40) != 1
-    q_upto = jnp.cumsum(is_q.astype(jnp.int32))
+    q_upto = prefix_count_mxu(is_q)
     rank = jnp.arange(1, nb + 2 * nq + 1, dtype=jnp.int32) - q_upto
     # recover per-query order: qid' = 0..2nq-1 for queries, big for build
     qid = jnp.where(is_q,
@@ -313,6 +340,39 @@ def ranks_lo_hi(sorted_keys: jax.Array,
     lo = jax.lax.slice_in_dim(rank_by_q, 0, nq)
     hi = jax.lax.slice_in_dim(rank_by_q, nq, 2 * nq)
     return lo, hi
+
+
+# direct-address LUTs beyond this many entries cost more HBM than they save
+LUT_MAX_ENTRIES = 1 << 25
+
+
+def lookup_last_eq_lut(build_keys: jax.Array, build_valid: jax.Array,
+                       probe_keys: jax.Array, key_lo: int, key_hi: int
+                       ) -> Tuple[jax.Array, jax.Array]:
+    """Direct-address equi-join probe for integer keys with host-known
+    bounds: scatter-max the build row ids into a dense [key_lo, key_hi]
+    LUT, then one take per probe row. `matched` says some valid build row
+    carries the key; the returned row id is the LAST (highest) such row —
+    identical semantics to lookup_last_eq.
+
+    This is the compile-lean TPU form: scatter + take compile in ~1s where
+    each lax.sort costs ~50s and any table-scale cumulative op kills the
+    remote compile helper (module header). All TPC-H equi-join keys are
+    dense bounded ints, so this is the production probe; the merged-sort
+    form remains for unbounded/float keys."""
+    size = int(key_hi) - int(key_lo) + 1
+    assert 0 < size <= LUT_MAX_ENTRIES, size
+    nb = build_keys.shape[0]
+    bidx = (build_keys.astype(jnp.int64) - key_lo)
+    tgt = jnp.where(build_valid & (bidx >= 0) & (bidx < size),
+                    bidx, jnp.int64(size)).astype(jnp.int32)
+    rows = jnp.arange(nb, dtype=jnp.int32)
+    lut = jnp.full(size, -1, jnp.int32).at[tgt].max(rows, mode="drop")
+    p = probe_keys.astype(jnp.int64) - key_lo
+    inb = (p >= 0) & (p < size)
+    bid = jnp.take(lut, jnp.clip(p, 0, size - 1).astype(jnp.int32), axis=0)
+    matched = inb & (bid >= 0)
+    return matched, jnp.where(matched, bid, 0)
 
 
 def lookup_last_eq(build_keys: jax.Array, build_valid: jax.Array,
@@ -363,19 +423,23 @@ def lookup_last_eq(build_keys: jax.Array, build_valid: jax.Array,
     is_build = tag_s == 0
     bid_s = (sec_s & (TAG - 1)).astype(jnp.int32)
 
-    def comb(a, b):
-        af, ak, ai = a
-        bf, bk, bi = b
-        return (af | bf, jnp.where(bf, bk, ak), jnp.where(bf, bi, ai))
-
-    ff, fk, fi = jax.lax.associative_scan(
-        comb, (is_build, k_s, jnp.where(is_build, bid_s, 0)))
-    matched_s = (tag_s == 1) & ff & (fk == k_s)
+    # scan-free fill: the c-th build row in merged order (c = MXU prefix
+    # count) is the c-th entry of the densely-compacted build lanes; a
+    # probe matches iff the nearest preceding build key equals its own.
+    # take/scatter everywhere — no cumulative op, ONE sort total (module
+    # header compile economics).
+    c = prefix_count_mxu(is_build)
+    bpos = positions_of_true(is_build, nb if nb else 1)
+    bk_dense = jnp.take(k_s, bpos, axis=0)
+    bid_dense = jnp.take(bid_s, bpos, axis=0)
+    ci = jnp.clip(c - 1, 0, max(nb - 1, 0))
+    fk = jnp.take(bk_dense, ci, axis=0)
+    fi = jnp.take(bid_dense, ci, axis=0)
+    matched_s = (tag_s == 1) & (c > 0) & (fk == k_s)
     qid = jnp.where(tag_s == 1, sec_s & (TAG - 1), jnp.int64(nq))
-    pack = ((qid << 33) | (matched_s.astype(jnp.int64) << 32)
-            | fi.astype(jnp.int64))
-    out = jax.lax.sort((pack,), num_keys=1, is_stable=False)[0]
-    out = jax.lax.slice_in_dim(out, 0, nq)
+    pack = (matched_s.astype(jnp.int64) << 32) | fi.astype(jnp.int64)
+    out = jnp.zeros(nq, jnp.int64).at[qid.astype(jnp.int32)].set(
+        pack, mode="drop")
     matched = ((out >> 32) & 1).astype(jnp.bool_)
     bid = (out & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
     return matched, jnp.where(matched, bid, 0)
@@ -423,16 +487,23 @@ def segment_reduce_cells(values: jax.Array, cell: jax.Array, n_cells: int,
 
 
 def segment_sums_sorted(values: jax.Array, starts: jax.Array,
-                        counts: jax.Array, total_rows) -> jax.Array:
+                        counts: jax.Array, total_rows,
+                        gid: Optional[jax.Array] = None) -> jax.Array:
     """Per-group sums where rows are already GROUP-SORTED: group g spans rows
-    [starts[g], starts[g] + counts[g]). Uses cumsum + boundary differences
-    (exact for integer dtypes; float error bounded by eps * running total).
-    starts/counts have static length = group capacity; rows past total_rows
-    must be zero in `values`."""
-    if not fast_path():
-        # reference lowering: scatter-add via segment ids is how the caller
-        # would do it; reconstruct with cumsum anyway for API parity on CPU
-        pass
+    [starts[g], starts[g] + counts[g]). starts/counts have static length =
+    group capacity; rows past total_rows must be zero in `values`.
+
+    With `gid` (per-row group ids, out-of-range for dead rows): a
+    deterministic sorted scatter-add — exact per-element f64/int64
+    accumulation, ~1s compile. Without gid: cumsum + boundary differences
+    (exact for ints; float error bounded by eps * running total) — but a
+    table-scale cumsum costs minutes of remote TPU compile (module
+    header), so every fast-path caller passes gid."""
+    if gid is not None and fast_path():
+        import jax.ops
+        return jax.ops.segment_sum(values, gid,
+                                   num_segments=int(starts.shape[0]),
+                                   indices_are_sorted=True)
     cs = jnp.cumsum(values)
     n = values.shape[0]
     ends = starts + counts - 1

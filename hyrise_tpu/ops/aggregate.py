@@ -455,8 +455,11 @@ class Aggregate(AbstractOperator):
                                 next_start.astype(jnp.int64)
                                 - starts.astype(jnp.int64), 0)
         # group ids for value re-sorts; dead rows get their OWN id past every
-        # group so they can never sit inside a group's run span
-        gid = jnp.cumsum(flags.astype(jnp.int32)) - 1
+        # group so they can never sit inside a group's run span. MXU prefix
+        # count: a flat cumsum at table scale wrecks the remote TPU compile
+        # (tpu_prims module header)
+        from hyrise_tpu.kernels.tpu_prims import prefix_count_mxu
+        gid = prefix_count_mxu(flags) - 1
         gid = jnp.where(live_s, gid, jnp.int32(2**31 - 1))
 
         out_cols: List[Column] = []
@@ -486,7 +489,7 @@ class Aggregate(AbstractOperator):
                 v_s = live_s
             count_g = segment_sums_sorted(
                 jnp.where(v_s, 1, 0).astype(jnp.int64), starts, counts_span,
-                n)
+                n, gid=gid)
             nonempty = count_g > 0
             if fn is AggregateFunction.COUNT:
                 out_cols.append(Column(out_name, DataType.INT64, count_g,
@@ -495,7 +498,7 @@ class Aggregate(AbstractOperator):
                 acc, out_dt = self._acc(d_s, in_dt, fn)
                 sums = segment_sums_sorted(
                     jnp.where(v_s, acc, jnp.zeros_like(acc)), starts,
-                    counts_span, n)
+                    counts_span, n, gid=gid)
                 if fn is AggregateFunction.SUM:
                     out_cols.append(Column(out_name, out_dt,
                                            sums.astype(out_dt.numpy_dtype),
@@ -509,20 +512,14 @@ class Aggregate(AbstractOperator):
                     else d_s
                 is_min = fn is AggregateFunction.MIN
                 masked = jnp.where(v_s, key, self._sentinel(key, is_min))
-                # re-sort within groups by value; run spans are unchanged,
-                # so group minima sit at `starts` (maxima at span ends)
-                _, val2 = jax.lax.sort((gid, masked), num_keys=2,
-                                       is_stable=False)
-                if is_min:
-                    r_g = jnp.take(val2, starts, axis=0)
-                else:
-                    _, val2x = jax.lax.sort(
-                        (gid, jnp.where(v_s, key,
-                                        self._sentinel(key, False))),
-                        num_keys=2, is_stable=False)
-                    ends = jnp.clip(starts.astype(jnp.int64)
-                                    + counts_span - 1, 0, cap - 1)
-                    r_g = jnp.take(val2x, ends.astype(jnp.int32), axis=0)
+                # deterministic scatter-min/max by group id: replaces two
+                # per-capacity sorts (~50s of remote compile each,
+                # tpu_prims module header); dead rows carry an
+                # out-of-range gid and drop
+                import jax.ops as _jops
+                seg = _jops.segment_min if is_min else _jops.segment_max
+                r_g = seg(masked, gid, num_segments=int(starts.shape[0]),
+                          indices_are_sorted=True)
                 if in_dt is DataType.STRING:
                     out_cols.append(Column(out_name, DataType.STRING,
                                            r_g.astype(jnp.int32), nonempty,
@@ -546,7 +543,7 @@ class Aggregate(AbstractOperator):
                                 | (k2 != jnp.roll(k2, 1))
                                 | jnp.roll(~v2, 1))
                 d_g = segment_sums_sorted(new_val.astype(jnp.int64), starts,
-                                          counts_span, n)
+                                          counts_span, n, gid=g2)
                 out_cols.append(Column(out_name, DataType.INT64, d_g, None,
                                        None))
             else:

@@ -130,16 +130,41 @@ def _probe_ranges(sorted_keys, n_valid, probe_keys, probe_valid, cond):
 @partial(jax.jit, static_argnames=("out_cap",))
 def _expand_pairs(lo, counts, build_perm, out_cap):
     """Expand per-probe ranges into flat (probe_idx, build_idx) pair arrays."""
+    from hyrise_tpu.kernels import tpu_prims as tp
+
     cap = counts.shape[0]
     probe_ids = jnp.arange(cap, dtype=jnp.int32)
-    offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
-    probe_out = jnp.repeat(probe_ids, counts, total_repeat_length=out_cap)
-    rank = (jnp.arange(out_cap, dtype=jnp.int32)
-            - jnp.repeat(offsets, counts, total_repeat_length=out_cap))
-    pos = jnp.repeat(lo, counts, total_repeat_length=out_cap) + rank
+    if not tp.fast_path():
+        offsets = jnp.cumsum(counts) - counts  # exclusive prefix sum
+        probe_out = jnp.repeat(probe_ids, counts,
+                               total_repeat_length=out_cap)
+        rank = (jnp.arange(out_cap, dtype=jnp.int32)
+                - jnp.repeat(offsets, counts, total_repeat_length=out_cap))
+        pos = jnp.repeat(lo, counts, total_repeat_length=out_cap) + rank
+        pos = jnp.clip(pos, 0, build_perm.shape[0] - 1)
+        build_out = tp.take_1d(build_perm, pos).astype(jnp.int32)
+        return probe_out, build_out
+    # compile-lean expansion: jnp.repeat/cumsum lower to table-scale
+    # cumulative ops that kill the remote TPU compile (tpu_prims module
+    # header). Instead: exact MXU prefix sums place each probe's segment,
+    # segment starts scatter into the output, and an MXU prefix COUNT
+    # recovers the owning segment per output position.
+    c32 = counts.astype(jnp.int32)
+    ends = tp.prefix_sum_i32_mxu(c32)               # inclusive
+    starts = ends - c32                              # exclusive
+    nonzero = c32 > 0
+    tgt = jnp.where(nonzero & (starts < out_cap), starts,
+                    jnp.int64(out_cap)).astype(jnp.int32)
+    flags = jnp.zeros(out_cap, jnp.bool_).at[tgt].set(True, mode="drop")
+    seg = tp.prefix_count_mxu(flags) - 1             # owning segment ordinal
+    seg = jnp.clip(seg, 0, cap - 1)
+    pid_dense = tp.positions_of_true(nonzero, cap)   # ordinal -> probe row
+    probe_out = jnp.take(pid_dense, seg, axis=0)
+    seg_start = jnp.take(starts, probe_out, axis=0).astype(jnp.int32)
+    rank = jnp.arange(out_cap, dtype=jnp.int32) - seg_start
+    pos = jnp.take(lo, probe_out, axis=0) + rank
     pos = jnp.clip(pos, 0, build_perm.shape[0] - 1)
-    from hyrise_tpu.kernels.tpu_prims import take_1d
-    build_out = take_1d(build_perm, pos).astype(jnp.int32)
+    build_out = jnp.take(build_perm, pos, axis=0).astype(jnp.int32)
     return probe_out, build_out
 
 
@@ -218,8 +243,10 @@ class Join(AbstractOperator):
         sort; output keeps the probe table's capacity with a live MASK —
         probe columns pass through untouched (and keep their unique flags),
         so join chains never re-materialize the probe side."""
-        from hyrise_tpu.kernels.tpu_prims import lookup_last_eq
-        from hyrise_tpu.plan.compiler import tracing
+        from hyrise_tpu.kernels.tpu_prims import (LUT_MAX_ENTRIES, fast_path,
+                                                  lookup_last_eq,
+                                                  lookup_last_eq_lut)
+        from hyrise_tpu.plan.compiler import active, tracing
 
         lk, lv, rk, rv = _join_key_arrays(probe_t, build_t,
                                           probe_col, build_col)
@@ -227,7 +254,32 @@ class Join(AbstractOperator):
         probe_valid = live if lv is None else (live & lv)
         b_live = build_t.live_mask()
         build_valid = b_live if rv is None else (b_live & rv)
-        matched, bid = lookup_last_eq(rk, build_valid, lk)
+        # direct-address probe when the build key's VALUE range is
+        # host-known and LUT-sized: compile-lean (scatter+take) vs the
+        # merged-sort probe (tpu_prims module header). Bounds come from the
+        # compile context's base-column map (values never transform through
+        # scans/joins), or from the concrete arrays when eager.
+        bounds = None
+        if fast_path() and rk.dtype.kind == "i":
+            ctx = active()
+            if ctx is not None:
+                bounds = ctx.col_bounds.get(build_col)
+            elif not tracing():
+                import numpy as np
+                bv_h = np.asarray(build_valid)
+                if bv_h.any():
+                    rk_h = np.asarray(rk)[bv_h]
+                    bounds = (int(rk_h.min()), int(rk_h.max()))
+            if bounds is not None \
+                    and not (0 < bounds[1] - bounds[0] + 1
+                             <= LUT_MAX_ENTRIES):
+                bounds = None
+        if bounds is not None:
+            matched, bid = lookup_last_eq_lut(rk, build_valid, lk,
+                                              bounds[0], bounds[1])
+            self.performance_data.extra["lut_join"] = True
+        else:
+            matched, bid = lookup_last_eq(rk, build_valid, lk)
         matched = matched & probe_valid
         self.performance_data.extra["lookup_join"] = True
         if mode in EXISTENCE_MODES:

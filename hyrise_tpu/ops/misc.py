@@ -32,8 +32,11 @@ class Limit(AbstractOperator):
         n = (min(t.num_rows, self.n) if isinstance(t.num_rows, int)
              else jnp.minimum(t.num_rows, self.n))
         if t.live is not None:
-            # masked layout: keep the first n live rows in the mask
-            live = t.live & (jnp.cumsum(t.live.astype(jnp.int32)) <= self.n)
+            # masked layout: keep the first n live rows in the mask (MXU
+            # prefix count — flat cumsum at table scale wrecks the remote
+            # TPU compile, tpu_prims module header)
+            from hyrise_tpu.kernels.tpu_prims import prefix_count_mxu
+            live = t.live & (prefix_count_mxu(t.live) <= self.n)
             return Table(t.columns, n, name=t.name, live=live)
         return Table(t.columns, n, name=t.name)
 

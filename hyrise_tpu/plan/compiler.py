@@ -38,7 +38,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from hyrise_tpu.types import bucket_capacity
+from hyrise_tpu.types import DataType, bucket_capacity
 
 # ---------------------------------------------------------------------------
 # capacity oracle
@@ -73,8 +73,15 @@ class CompileContext:
     """
 
     def __init__(self, caps: List[int], gather_used: Optional[List[set]] = None,
-                 gather_known_upto: int = 0):
+                 gather_known_upto: int = 0,
+                 col_bounds: Optional[Dict[str, Tuple[int, int]]] = None):
         self.caps = caps          # shared, persistent across retraces
+        # host-known (min, max) VALUE bounds per unambiguous base-column
+        # name: join keys never transform values, so a derived key column's
+        # range is its base column's range — this sizes the static LUT of
+        # the direct-address equi-join probe (kernels/tpu_prims
+        # lookup_last_eq_lut) without any per-plan metadata propagation
+        self.col_bounds = col_bounds or {}
         self.site = 0
         self.counts: List[jax.Array] = []
         self.bounds: List[Optional[int]] = []
@@ -273,6 +280,49 @@ class CompiledQuery:
         from hyrise_tpu.storage.encoding import NarrowCodes
         return isinstance(enc, NarrowCodes) and enc.dictionary is None
 
+    def _col_bounds(self) -> Dict[str, Tuple[int, int]]:
+        """Host-known (min, max) value bounds of every integer/code base
+        column, keyed by column name (names claimed by MORE than one source
+        column are dropped as ambiguous). Computed ONCE from the concrete
+        source tables — join keys never transform values, so any derived
+        key column keeps its base range. Sizes the direct-address LUT join
+        (tpu_prims.lookup_last_eq_lut: scatter+take, ~1s compile, vs ~50s
+        per sort on the remote TPU)."""
+        cached = getattr(self, "_col_bounds_cache", None)
+        if cached is not None:
+            return cached
+        import numpy as np
+        bounds: Dict[str, Tuple[int, int]] = {}
+        seen = set()
+        for t in self._sources:
+            cols = getattr(t, "columns", None)
+            if cols is None or not isinstance(t.num_rows, int):
+                continue  # sharded / exotic sources: no bounds, sort probe
+            n = t.num_rows
+            for c in cols:
+                name = c.name
+                if name in seen:
+                    bounds.pop(name, None)
+                    continue
+                seen.add(name)
+                if n == 0:
+                    continue
+                if c.dtype is DataType.STRING:
+                    bounds[name] = (0, max(len(c.dictionary) - 1, 0))
+                elif c.dtype.is_integral:
+                    d = c.data[:n]
+                    if c.validity is not None:
+                        v = c.validity[:n]
+                        lo = jnp.min(jnp.where(v, d, jnp.iinfo(d.dtype).max))
+                        hi = jnp.max(jnp.where(v, d, jnp.iinfo(d.dtype).min))
+                    else:
+                        lo, hi = jnp.min(d), jnp.max(d)
+                    lo, hi = int(lo), int(hi)
+                    if lo <= hi:
+                        bounds[name] = (lo, hi)
+        self._col_bounds_cache = bounds
+        return bounds
+
     def _flat_args(self) -> List[jax.Array]:
         args = []
         for t in self._sources:
@@ -312,7 +362,8 @@ class CompiledQuery:
     def _traced_fn(self, flat_args, salt, caps: List[int]):
         from hyrise_tpu.ops.base import execute_plan
 
-        ctx = CompileContext(caps, self.gather_used, self._gather_known_upto)
+        ctx = CompileContext(caps, self.gather_used, self._gather_known_upto,
+                             col_bounds=self._col_bounds())
         self._rebuild_tables(flat_args, ctx)
         for op in self.ops:
             op.clear_output()
@@ -357,6 +408,7 @@ class CompiledQuery:
     def lowered_text(self) -> str:
         """StableHLO of the current steady-state program (diagnostics: op
         census / program-size budgeting for remote TPU compiles)."""
+        self._col_bounds()  # force host-side bounds OUTSIDE the trace
         fn, _ = self._get_jitted()
         self._salt += 1
         return fn.lower(self._flat_args(), jnp.int32(self._salt)).as_text()
@@ -370,6 +422,7 @@ class CompiledQuery:
         from hyrise_tpu.storage.table import Table
 
         flat = self._flat_args()
+        self._col_bounds()  # force host-side bounds OUTSIDE the trace
         self.last_retries = 0
         seeded_n = len(self.caps) if self._out_meta is None else None
         for _ in range(self.MAX_RETRIES):

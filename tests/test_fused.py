@@ -113,3 +113,28 @@ def test_fused_integer_sum_uses_int64():
                               [("s", sum_(col("x")))])
     out = execute_plan(op)
     assert out.rows()[0][1] == 2 * big + 1
+
+
+def test_fused_respects_masked_layout():
+    """Regression: FusedFilterAggregate assumed prefix liveness
+    (arange < num_rows); a masked post-join table silently aggregated dead
+    rows / dropped live ones (surfaced as TPC-H Q17 SQL-compiled returning
+    NULL on the first trace, before capacity tightening compacts)."""
+    import jax.numpy as jnp
+    import numpy as np
+    import pandas as pd
+    from hyrise_tpu.expression import ast
+    from hyrise_tpu.kernels.fused import FusedFilterAggregate
+    from hyrise_tpu.ops.base import execute_plan
+    from hyrise_tpu.ops.get_table import TableWrapper
+    from hyrise_tpu.storage.table import Table
+
+    t = Table.from_pandas("t", pd.DataFrame({
+        "v": np.arange(8, dtype=np.float32)}))
+    lm = np.zeros(t.capacity, dtype=bool)
+    lm[[1, 3, 5, 7]] = True
+    masked = Table(t.columns, 4, name="t", live=jnp.asarray(lm))
+    out = execute_plan(FusedFilterAggregate(
+        TableWrapper(masked), ast.col("v") > ast.lit(2.0), [],
+        [("s", ast.sum_(ast.col("v")))]))
+    assert out.rows() == [(15.0,)]  # live rows 1,3,5,7; >2 keeps 3+5+7
