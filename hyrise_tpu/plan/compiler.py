@@ -294,6 +294,7 @@ class CompiledQuery:
         import numpy as np
         bounds: Dict[str, Tuple[int, int]] = {}
         seen = set()
+        pend = []  # (name, lo_dev, hi_dev) device reductions, ONE sync below
         for t in self._sources:
             cols = getattr(t, "columns", None)
             if cols is None or not isinstance(t.num_rows, int):
@@ -303,6 +304,7 @@ class CompiledQuery:
                 name = c.name
                 if name in seen:
                     bounds.pop(name, None)
+                    pend = [pp for pp in pend if pp[0] != name]
                     continue
                 seen.add(name)
                 if n == 0:
@@ -310,6 +312,9 @@ class CompiledQuery:
                 if c.dtype is DataType.STRING:
                     bounds[name] = (0, max(len(c.dictionary) - 1, 0))
                 elif c.dtype.is_integral:
+                    if c.val_range is not None:  # ingest-computed, free
+                        bounds[name] = c.val_range
+                        continue
                     d = c.data[:n]
                     if c.validity is not None:
                         v = c.validity[:n]
@@ -317,9 +322,17 @@ class CompiledQuery:
                         hi = jnp.max(jnp.where(v, d, jnp.iinfo(d.dtype).min))
                     else:
                         lo, hi = jnp.min(d), jnp.max(d)
-                    lo, hi = int(lo), int(hi)
-                    if lo <= hi:
-                        bounds[name] = (lo, hi)
+                    pend.append((name, lo, hi))
+        if pend:
+            # one packed device->host read for ALL remaining reductions
+            # (each scalar int() costs a full tunnel round trip + compile)
+            flat = np.asarray(jnp.stack(
+                [jnp.asarray(x, jnp.int64) for _, lo, hi in pend
+                 for x in (lo, hi)]))
+            for i, (name, _, _) in enumerate(pend):
+                lo, hi = int(flat[2 * i]), int(flat[2 * i + 1])
+                if lo <= hi:
+                    bounds[name] = (lo, hi)
         self._col_bounds_cache = bounds
         return bounds
 

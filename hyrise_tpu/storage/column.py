@@ -84,12 +84,12 @@ class Column:
     """
 
     __slots__ = ("name", "dtype", "_data", "_validity", "dictionary",
-                 "_capacity_hint", "encoded", "unique")
+                 "_capacity_hint", "encoded", "unique", "val_range")
 
     def __init__(self, name: str, dtype: DataType, data,
                  validity=None, dictionary: Optional[np.ndarray] = None,
                  capacity_hint: Optional[int] = None, encoded=None,
-                 unique: bool = False):
+                 unique: bool = False, val_range=None):
         self.name = name
         self.dtype = dtype
         self._data = data
@@ -107,6 +107,10 @@ class Column:
         # lookup-join path (ops/join.py) — a wrong True produces wrong
         # JOIN results, so only provably-distinct sources set it.
         self.unique = unique
+        # host-known (min, max) over live values, set at ingest for integer
+        # base columns: sizes the direct-address LUT join without any
+        # device reads (plan/compiler._col_bounds)
+        self.val_range = val_range
 
     @property
     def data(self) -> jax.Array:
@@ -157,8 +161,14 @@ class Column:
             v = np.zeros(cap, dtype=bool)
             v[:n] = validity
             vmask = jnp.asarray(v)
+        vr = None
+        if dtype.is_integral and n:
+            live_vals = arr[:n] if validity is None \
+                else arr[:n][np.asarray(validity, dtype=bool)]
+            if len(live_vals):
+                vr = (int(live_vals.min()), int(live_vals.max()))
         return Column(name=name, dtype=dtype, data=data, validity=vmask,
-                      dictionary=dictionary)
+                      dictionary=dictionary, val_range=vr)
 
     # -- accessors -----------------------------------------------------------
 

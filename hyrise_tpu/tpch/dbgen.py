@@ -206,8 +206,12 @@ def _make_table(name: str, specs: List[ColSpec], n: int) -> Table:
         else:
             arr = np.zeros(cap, dtype=dt.numpy_dtype)
             arr[:n] = payload
+            vr = None
+            if dt.is_integral and n:
+                vr = (int(arr[:n].min()), int(arr[:n].max()))
             cols.append(Column(col_name, dt, jnp.asarray(arr), None, None,
-                               unique=col_name in PRIMARY_KEYS))
+                               unique=col_name in PRIMARY_KEYS,
+                               val_range=vr))
     return Table(cols, n, name=name)
 
 
