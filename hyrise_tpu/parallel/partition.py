@@ -26,14 +26,30 @@ from hyrise_tpu.types import DataType, bucket_capacity
 
 @dataclasses.dataclass
 class ShardedColumn:
+    """Per-shard slice of a Column.
+
+    MUST mirror every host-metadata field of storage.column.Column (enforced
+    by tests/test_dist_compiler.py::test_sharded_column_metadata_parity):
+    partitioning only re-routes rows, so table-global metadata (dictionary,
+    unique, val_range) stays valid per shard — a shard's value set is a
+    subset of the table's. `encoded` stays None: sharded columns are always
+    dense device arrays.
+    """
     name: str
     dtype: DataType
     data: jax.Array                    # [n_shards, shard_cap]
     validity: Optional[jax.Array]      # [n_shards, shard_cap] or None
     dictionary: Optional[np.ndarray]
+    encoded: Optional[object] = None
+    unique: bool = False
+    val_range: Optional[tuple] = None  # host-known (min, max) over live rows
 
 
 class ShardedTable:
+    # plan.compiler._col_bounds keys off this: sharded sources contribute
+    # INGEST metadata only — a device min/max over a [n_shards, cap] array
+    # outside shard_map wedges the mesh collective rendezvous (VERDICT r3).
+    is_sharded = True
     def __init__(self, columns: List[ShardedColumn], counts: jax.Array,
                  num_rows: int, mesh: Mesh, name: str = "",
                  partition_key: Optional[str] = None):
@@ -106,7 +122,9 @@ def partition_by_targets(table: Table, target: np.ndarray, mesh: Mesh,
                 vbuf[s, :len(idx)] = v_host[idx]
         data = jax.device_put(buf, sharding)
         validity = jax.device_put(vbuf, sharding) if vbuf is not None else None
-        cols.append(ShardedColumn(c.name, c.dtype, data, validity, c.dictionary))
+        cols.append(ShardedColumn(c.name, c.dtype, data, validity,
+                                  c.dictionary, encoded=None,
+                                  unique=c.unique, val_range=c.val_range))
     counts_dev = jax.device_put(counts.astype(np.int32),
                                 NamedSharding(mesh, P()))
     return ShardedTable(cols, counts_dev, rows, mesh, name=table.name,

@@ -298,7 +298,13 @@ class CompiledQuery:
         for t in self._sources:
             cols = getattr(t, "columns", None)
             if cols is None or not isinstance(t.num_rows, int):
-                continue  # sharded / exotic sources: no bounds, sort probe
+                continue  # exotic sources: no bounds, sort probe
+            # Sharded sources contribute INGEST metadata only: a device
+            # min/max over their [n_shards, cap] arrays outside shard_map
+            # triggers an out-of-band collective rendezvous that deadlocks
+            # the mesh (round-3 regression). The table-global val_range is
+            # a valid (conservative) bound for every shard.
+            sharded = getattr(t, "is_sharded", False)
             n = t.num_rows
             for c in cols:
                 name = c.name
@@ -315,6 +321,8 @@ class CompiledQuery:
                     if c.val_range is not None:  # ingest-computed, free
                         bounds[name] = c.val_range
                         continue
+                    if sharded:
+                        continue  # no metadata → no bound; never device-read
                     d = c.data[:n]
                     if c.validity is not None:
                         v = c.validity[:n]

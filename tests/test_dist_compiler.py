@@ -257,3 +257,43 @@ def test_sort_and_limit_gather():
     def plan(c):
         return Limit(Sort(GetTable("fact", c), ["v"]), 10)
     _check(cat, sc, plan, ordered=True)
+
+
+def test_sharded_column_metadata_parity():
+    """ShardedColumn must mirror every host-metadata field of Column.
+
+    Round-3 regression class: Column grew `val_range` but ShardedColumn did
+    not, and plan.compiler._col_bounds crashed on sharded sources
+    (AttributeError), leaving the whole distributed layer red. Any public
+    Column slot (payload slots `data`/`validity` map to the [n_shards, cap]
+    forms) must exist on ShardedColumn too.
+    """
+    from hyrise_tpu.parallel.partition import ShardedColumn
+    from hyrise_tpu.storage.column import Column
+
+    public = {s.lstrip("_") for s in Column.__slots__} - {"capacity_hint"}
+    sc = ShardedColumn("x", None, None, None, None)
+    missing = {f for f in public if not hasattr(sc, f)}
+    assert not missing, (
+        f"ShardedColumn is missing Column metadata fields {sorted(missing)}; "
+        "add them and propagate in partition_by_targets")
+
+
+def test_partition_propagates_metadata():
+    """hash_partition must carry ingest metadata (val_range, unique) through
+    to every ShardedColumn so the sharded LUT-join bound path never needs a
+    device reduction over [n_shards, cap] arrays (which deadlocks the mesh
+    rendezvous outside shard_map)."""
+    t = Table.from_pandas("t", pd.DataFrame({
+        "k": np.arange(50, dtype=np.int64),
+        "v": np.arange(50, dtype=np.int64) % 7,
+    }))
+    t.column("k").unique = True
+    assert t.column("k").val_range == (0, 49)
+    from hyrise_tpu.parallel.partition import hash_partition
+    mesh = make_mesh(8)
+    st = hash_partition(t, "k", mesh)
+    assert st.column("k").val_range == (0, 49)
+    assert st.column("k").unique is True
+    assert st.column("v").val_range == (0, 6)
+    assert st.column("v").unique is False
