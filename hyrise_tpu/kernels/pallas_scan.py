@@ -87,7 +87,18 @@ def q6_pallas_chain(shipdate_codes, discount, quantity, extendedprice, live,
                     date_lo, date_hi, salt, k, interpret: bool = False):
     """k sequential Q6 Pallas executions with a data dependence between
     iterations — the same hoist-proof differenced-chain protocol as
-    kernels/q6.q6_chain, for honest Pallas-vs-XLA timing on the tunnel."""
+    kernels/q6.q6_chain, for honest Pallas-vs-XLA timing on the tunnel.
+
+    The iteration carry is an int32 LCG seeded from each iteration's data
+    sum, so the kernel's scalar input (date_lo + bit) GENUINELY varies per
+    iteration and every call is serially data-dependent on the previous
+    one. The first version derived bit from an f32 accumulator whose
+    magnitude (~4.5e8) made the low bit identically 0 — every call was
+    runtime-identical and the measured slope (0.111 ms/iter = 1287 GB/s)
+    exceeded the v5e HBM roofline by 57%; with a real dependence the same
+    kernel measures ~0.19 ms/iter = ~90% of speed-of-light (r3 verdict
+    weak #5: the impossible number was a degenerate-chain artifact, not
+    transport caching)."""
     n = shipdate_codes.shape[0]
     assert n % TILE_ROWS == 0, n
     grid = n // TILE_ROWS
@@ -105,8 +116,9 @@ def q6_pallas_chain(shipdate_codes, discount, quantity, extendedprice, live,
     live2 = reshape(live.astype(jnp.int8))
 
     with jax.enable_x64(False):
-        def body(i, acc):
-            bit = acc.astype(jnp.int64).astype(jnp.int32) & 1
+        def body(i, carry):
+            acc, lfsr = carry
+            bit = lfsr & jnp.int32(1)
             partials = pl.pallas_call(
                 _q6_scan_tile_kernel_v2,
                 grid=(grid,),
@@ -119,7 +131,14 @@ def q6_pallas_chain(shipdate_codes, discount, quantity, extendedprice, live,
             )(jnp.reshape(jnp.asarray(date_lo, jnp.int32) + bit, (1, 1)),
               jnp.reshape(jnp.asarray(date_hi, jnp.int32), (1, 1)),
               ship2, disc2, qty2, price2, live2)
-            return acc + jnp.sum(partials.astype(jnp.float64))
+            s = jnp.sum(partials)
+            # data-dependent LCG step: the next call's scalar depends on
+            # THIS call's full reduction — hoist- and elision-proof
+            lfsr = (lfsr * jnp.int32(1103515245) + jnp.int32(12345)
+                    + s.astype(jnp.int32))
+            return acc + s, lfsr
 
-        init = jnp.float64(jnp.minimum(salt, 0))
-        return jax.lax.fori_loop(0, jnp.asarray(k, jnp.int32), body, init)
+        init = (jnp.float32(jnp.minimum(salt, 0)),
+                jnp.asarray(salt, jnp.int32))
+        acc, _ = jax.lax.fori_loop(0, jnp.asarray(k, jnp.int32), body, init)
+        return acc

@@ -208,11 +208,14 @@ def prefix_count_mxu(flags: jax.Array) -> jax.Array:
 
 
 def prefix_sum_i32_mxu(values: jax.Array) -> jax.Array:
-    """Inclusive prefix sum of non-negative int32 values (< 2^24 each),
-    exact, compile-lean: each value splits into 12-bit halves, each half's
-    within-block prefix runs as an f32 triangular matmul (512 * 2^12 =
-    2^21 < 2^24 stays exact), halves recombine in int64, and the tiny
-    block-carry cumsum runs in int64. Returns int64."""
+    """Inclusive prefix sum of non-negative int32 values — exact for the
+    FULL int32 range, compile-lean: each value splits into three 12-bit
+    limbs, each limb's within-block prefix runs as an f32 triangular
+    matmul (512 * 2^12 = 2^21 < 2^24 stays f32-exact; the top limb holds
+    bits 24..30, so 512 * 2^7 is far below that), limbs recombine in
+    int64, and the tiny block-carry cumsum runs in int64. Returns int64.
+    (Two limbs capped inputs at 2^24 — a skewed join with one probe key
+    matching >=16.7M build rows silently corrupted segment offsets.)"""
     n = int(values.shape[0])
     nb = -(-n // _PFX_BLOCK)
     pad = nb * _PFX_BLOCK - n
@@ -225,9 +228,11 @@ def prefix_sum_i32_mxu(values: jax.Array) -> jax.Array:
                                    precision=jax.lax.Precision.HIGHEST)
 
     lo12 = tri(v & 0xFFF)
-    hi12 = tri(v >> 12)
+    mid12 = tri((v >> 12) & 0xFFF)
+    hi12 = tri(v >> 24)
     within = (lo12.astype(jnp.int64)
-              + (hi12.astype(jnp.int64) << 12))
+              + (mid12.astype(jnp.int64) << 12)
+              + (hi12.astype(jnp.int64) << 24))
     totals = within[:, -1]
     carry = jnp.concatenate([jnp.zeros((1,), jnp.int64),
                              jnp.cumsum(totals)[:-1]])  # tiny: n/512

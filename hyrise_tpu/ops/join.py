@@ -49,26 +49,35 @@ from hyrise_tpu.types import (ANTI_MODES, DataType, EXISTENCE_MODES, JoinMode,
 
 def _join_key_arrays(lt: Table, rt: Table, left_col: str, right_col: str):
     """Promote both key columns into one comparable key space (the reference's
-    JoinHash hash_traits HashedType promotion for mixed int/float keys)."""
+    JoinHash hash_traits HashedType promotion for mixed int/float keys).
+
+    Returns (lk, lv, rk, rv, remap_len): remap_len is None unless the keys
+    are string columns with UNEQUAL dictionaries, in which case the codes
+    were rewritten into a merged dictionary space and remap_len is its size.
+    Callers consulting ingest-time value bounds (the LUT join) MUST use
+    (0, remap_len - 1) then — ctx.col_bounds is in original code space and
+    silently drops build keys whose merged code exceeds it (r3 advisor)."""
     lc, rc = lt.column(left_col), rt.column(right_col)
     if (lc.dtype is DataType.STRING) != (rc.dtype is DataType.STRING):
         raise TypeError("cannot join string with non-string column")
+    remap_len = None
     if lc.dtype is DataType.STRING:
         same = lc.dictionary is rc.dictionary or np.array_equal(
             lc.dictionary, rc.dictionary)
         if same:
             lk, rk = lc.data.astype(jnp.int64), rc.data.astype(jnp.int64)
         else:
-            _, rl, rr = merge_dictionaries(lc.dictionary, rc.dictionary)
+            merged, rl, rr = merge_dictionaries(lc.dictionary, rc.dictionary)
             lk = jnp.asarray(rl)[lc.data].astype(jnp.int64)
             rk = jnp.asarray(rr)[rc.data].astype(jnp.int64)
+            remap_len = len(merged)
     elif lc.dtype.is_integral and rc.dtype.is_integral:
         lk, rk = lc.data.astype(jnp.int64), rc.data.astype(jnp.int64)
     else:
         lk, rk = lc.data.astype(jnp.float64), rc.data.astype(jnp.float64)
     lv = lc.validity if lc.validity is not None else None
     rv = rc.validity if rc.validity is not None else None
-    return lk, lv, rk, rv
+    return lk, lv, rk, rv, remap_len
 
 
 @jax.jit
@@ -192,7 +201,8 @@ class Join(AbstractOperator):
     # -- core: probe left against sorted right -------------------------------
 
     def _probe(self, lt: Table, rt: Table, cond: PredicateCondition):
-        lk, lv, rk, rv = _join_key_arrays(lt, rt, self.left_col, self.right_col)
+        lk, lv, rk, rv, _ = _join_key_arrays(lt, rt,
+                                             self.left_col, self.right_col)
         l_live = lt.live_mask()
         r_live = rt.live_mask()
         probe_valid = l_live if lv is None else (l_live & lv)
@@ -246,30 +256,38 @@ class Join(AbstractOperator):
         from hyrise_tpu.kernels.tpu_prims import (LUT_MAX_ENTRIES, fast_path,
                                                   lookup_last_eq,
                                                   lookup_last_eq_lut)
-        from hyrise_tpu.plan.compiler import active, tracing
+        from hyrise_tpu.plan.compiler import tracing
 
-        lk, lv, rk, rv = _join_key_arrays(probe_t, build_t,
-                                          probe_col, build_col)
+        lk, lv, rk, rv, remap_len = _join_key_arrays(probe_t, build_t,
+                                                     probe_col, build_col)
         live = probe_t.live_mask()
         probe_valid = live if lv is None else (live & lv)
         b_live = build_t.live_mask()
         build_valid = b_live if rv is None else (b_live & rv)
         # direct-address probe when the build key's VALUE range is
         # host-known and LUT-sized: compile-lean (scatter+take) vs the
-        # merged-sort probe (tpu_prims module header). Bounds come from the
-        # compile context's base-column map (values never transform through
-        # scans/joins), or from the concrete arrays when eager.
+        # merged-sort probe (tpu_prims module header). Bounds are carried
+        # ON the column (ingest val_range, preserved only by value-
+        # untransformed passthroughs), so a derived column shadowing a base
+        # column's name can never inherit the base bound; string codes are
+        # bounded by their dictionary by construction, and a merged-
+        # dictionary rewrite supersedes both (r3 advisor findings).
         bounds = None
         if fast_path() and rk.dtype.kind == "i":
-            ctx = active()
-            if ctx is not None:
-                bounds = ctx.col_bounds.get(build_col)
-            elif not tracing():
-                import numpy as np
-                bv_h = np.asarray(build_valid)
-                if bv_h.any():
-                    rk_h = np.asarray(rk)[bv_h]
-                    bounds = (int(rk_h.min()), int(rk_h.max()))
+            bc = build_t.column(build_col)
+            if remap_len is not None:
+                bounds = (0, remap_len - 1)
+            elif bc.dtype is DataType.STRING:
+                bounds = (0, max(len(bc.dictionary) - 1, 0))
+            else:
+                bounds = bc.val_range
+                if bounds is None and not tracing():
+                    # eager fallback: exact bounds from the concrete arrays
+                    import numpy as np
+                    bv_h = np.asarray(build_valid)
+                    if bv_h.any():
+                        rk_h = np.asarray(rk)[bv_h]
+                        bounds = (int(rk_h.min()), int(rk_h.max()))
             if bounds is not None \
                     and not (0 < bounds[1] - bounds[0] + 1
                              <= LUT_MAX_ENTRIES):
@@ -557,7 +575,8 @@ class JoinNestedLoop(AbstractOperator):
     def _on_execute(self, context) -> Table:
         mode = self.mode
         lt, rt = self.input_table(0), self.input_table(1)
-        lk, lv, rk, rv = _join_key_arrays(lt, rt, self.left_col, self.right_col)
+        lk, lv, rk, rv, _ = _join_key_arrays(lt, rt,
+                                             self.left_col, self.right_col)
         lval = lt.live_mask() if lv is None else (lt.live_mask() & lv)
         rval = rt.live_mask() if rv is None else (rt.live_mask() & rv)
         from hyrise_tpu.expression.evaluator import _apply_cmp

@@ -117,9 +117,12 @@ def gather_columns_at(table: Table, indices: jax.Array,
                                lambda col=c: _take(col.validity, indices))
         else:
             v = extra_valid
+        # gathered values are a subset of the source's live values, so the
+        # ingest range bound stays valid (val_range is conservative)
         cols.append(Column(c.name, c.dtype, data, v, c.dictionary,
                            capacity_hint=cap,
-                           unique=c.unique and preserve_unique))
+                           unique=c.unique and preserve_unique,
+                           val_range=c.val_range))
     return cols
 
 
@@ -138,7 +141,8 @@ def gather_table(table: Table, indices: jax.Array, count: int,
                                 "gather_table.indices")
         cols = [Column(c.name, c.dtype, _take(c.data, indices),
                        _take(c.validity, indices) if c.has_validity else None,
-                       c.dictionary, unique=c.unique and preserve_unique)
+                       c.dictionary, unique=c.unique and preserve_unique,
+                       val_range=c.val_range)
                 for c in table.columns]
     return Table(cols, count, name=name if name is not None else table.name)
 
@@ -189,7 +193,7 @@ def ensure_prefix(table: Table) -> Table:
             validity = outs[i]
             i += 1
         cols.append(Column(c.name, c.dtype, data, validity, c.dictionary,
-                           unique=c.unique))
+                           unique=c.unique, val_range=c.val_range))
     t = Table(cols, count, name=table.name)
     t.mvcc = table.mvcc
     return t

@@ -71,5 +71,5 @@ class Sort(AbstractOperator):
                 validity = outs[i]
                 i += 1
             cols.append(Column(c.name, c.dtype, data, validity, c.dictionary,
-                               unique=c.unique))
+                               unique=c.unique, val_range=c.val_range))
         return Table(cols, table.num_rows, name=table.name)

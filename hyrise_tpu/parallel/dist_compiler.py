@@ -151,6 +151,21 @@ def _take_cols(table: Table, sel: jax.Array, n_rows,
     return Table(cols, n_rows, name=table.name)
 
 
+def _slice_prefix(t: Table, n_max: int) -> Table:
+    """Prefix-layout table shrunk to capacity bucket_capacity(min(n_max,
+    cap)) by slicing every column — rows beyond num_rows stay dead."""
+    from hyrise_tpu.types import bucket_capacity
+    cap = bucket_capacity(max(min(int(n_max), int(t.capacity)), 1))
+    if cap >= t.capacity:
+        return t
+    cols = [Column(c.name, c.dtype, jax.lax.slice_in_dim(c.data, 0, cap),
+                   (jax.lax.slice_in_dim(c.validity, 0, cap)
+                    if c.has_validity else None),
+                   c.dictionary, unique=c.unique, val_range=c.val_range)
+            for c in t.columns]
+    return Table(cols, t.num_rows, name=t.name)
+
+
 def gather_replicated(t: Table, n_shards: int, axis: str = SHARD_AXIS) -> Table:
     """all_gather every column; compact live rows to a prefix (single-chip
     operators assume rows [0, num_rows) are live)."""
@@ -235,7 +250,7 @@ def localize_by_key(t: Table, key_i64: jax.Array, n_shards: int,
 
 
 def _promoted_keys(lt: Table, rt: Table, lcol: str, rcol: str):
-    lk, _, rk, _ = _join_key_arrays(lt, rt, lcol, rcol)
+    lk, _, rk, _, _ = _join_key_arrays(lt, rt, lcol, rcol)
     return lk, rk
 
 
@@ -399,6 +414,14 @@ class DistributedCompiledQuery(CompiledQuery):
         self._hot_keys: Dict[int, np.ndarray] = {}
         # JoinMPSM range-cluster splitters, pinned at first trace
         self._splitters: Dict[int, np.ndarray] = {}
+        # op id -> consumer ops (structural; drives the distributed top-K:
+        # a Sort consumed only by Limits sorts per shard instead of
+        # gathering its whole input)
+        self._consumers: Dict[int, List[AbstractOperator]] = {}
+        for o in self.ops:
+            for i in o.inputs:
+                self._consumers.setdefault(id(i), []).append(o)
+        self._local_sorted: set = set()
 
     # -- argument marshalling -------------------------------------------------
 
@@ -435,6 +458,10 @@ class DistributedCompiledQuery(CompiledQuery):
         return specs
 
     def _rebuild_tables(self, flat, ctx: CompileContext):
+        # table-global metadata stays valid per shard: a shard's live values
+        # are a subset of the table's (so val_range is a conservative bound)
+        # and a globally-unique key column is unique within every shard
+        bounds = self._col_bounds()
         it = iter(flat)
         for src in self._sources:
             if isinstance(src, ShardedTable):
@@ -444,7 +471,8 @@ class DistributedCompiledQuery(CompiledQuery):
                     validity = (next(it).reshape(-1)
                                 if c.validity is not None else None)
                     cols.append(Column(c.name, c.dtype, data, validity,
-                                       c.dictionary))
+                                       c.dictionary, unique=c.unique,
+                                       val_range=c.val_range))
                 counts = next(it).reshape(-1)
                 t = Table(cols, counts[0], name=src.name)
             else:
@@ -452,8 +480,11 @@ class DistributedCompiledQuery(CompiledQuery):
                 for c in src.columns:
                     data = next(it)
                     validity = next(it) if c.has_validity else None
+                    vr = c.val_range if c.val_range is not None \
+                        else bounds.get(c.name)
                     cols.append(Column(c.name, c.dtype, data, validity,
-                                       c.dictionary))
+                                       c.dictionary, unique=c.unique,
+                                       val_range=vr))
                 t = Table(cols, src.num_rows, name=src.name)
             ctx.table_subst[id(src)] = t
 
@@ -583,6 +614,32 @@ class DistributedCompiledQuery(CompiledQuery):
                 p = self._preserved(p, t)
             agg = Aggregate(TableWrapper(t), op.groupby, op.aggregates)
             return self._exec_aggregate(agg, (t, p))
+
+        # Distributed top-K (reference: sort.cpp:180-210's materialize-sort,
+        # lifted per shard): a Sort consumed ONLY by Limit(s) runs per-shard;
+        # each Limit then gathers just K rows per shard and re-sorts those
+        # K*n_shards rows — the whole intermediate is never replicated.
+        if op.name == "Sort":
+            t, p = ins[0]
+            consumers = self._consumers.get(id(op), [])
+            if (not p.replicated and consumers
+                    and all(c.name == "Limit" for c in consumers)):
+                res = self._run_local(op, [t])  # per-shard local sort
+                self._local_sorted.add(id(op))
+                return res, self._preserved(p, res)
+
+        if op.name == "Limit" and id(op.inputs[0]) in self._local_sorted:
+            t, p = ins[0]
+            if not p.replicated:
+                local_topk = self._run_local(op, [t])  # first K rows/shard
+                # physically shrink to the K-row bucket BEFORE the
+                # all_gather so the exchange moves K rows per shard, not
+                # the full shard capacity
+                small = _slice_prefix(local_topk, op.n)
+                gathered = gather_replicated(small, self.n_shards)
+                resorted = self._run_local(op.inputs[0], [gathered])
+                res = self._run_local(op, [resorted])
+                return res, REPLICATED
 
         # universal fallback: replicate all inputs, run the stock operator
         tables = [self._gathered(t, p) for t, p in ins]

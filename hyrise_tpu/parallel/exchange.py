@@ -56,32 +56,17 @@ def repartition_by_key(arrays: Tuple[jax.Array, ...], key: jax.Array,
     spread round-robin instead of by hash — parallel/skew.py's salted split,
     the NUMAPlacementManager-migration analogue); invalid rows are dropped
     regardless.
+
+    With HYRISE_TPU_RING_EXCHANGE=1 the exchange runs as a ppermute ring
+    (ring_repartition_by_key) instead of one all_to_all — same outputs,
+    overlap-capable schedule.
     """
+    if ring_exchange_enabled() and n_shards > 1:
+        return ring_repartition_by_key(arrays, key, valid, n_shards, axis,
+                                       target)
     cap = key.shape[0]
-    if target is None:
-        target = partition_hash(key, n_shards)
-    target = jnp.where(valid, target, n_shards)
-
-    # stable sort by target clusters rows per destination
-    order = jnp.lexsort([target])
-    t_sorted = jnp.take(target, order, axis=0)
-    counts = jax.ops.segment_sum(jnp.ones(cap, dtype=jnp.int32), t_sorted,
-                                 num_segments=n_shards + 1)[:n_shards]
-    offsets = jnp.cumsum(counts) - counts  # exclusive
-    rank = jnp.arange(cap, dtype=jnp.int32) - jnp.take(
-        jnp.append(offsets, 0), jnp.minimum(t_sorted, n_shards), axis=0)
-    # send-buffer slot for each sorted row; invalid rows dropped
-    slot = jnp.where(t_sorted < n_shards,
-                     t_sorted * cap + rank, n_shards * cap)
-
-    def scatter(a):
-        a_sorted = jnp.take(a, order, axis=0)
-        buf = jnp.zeros((n_shards * cap,) + a.shape[1:], dtype=a.dtype)
-        buf = buf.at[slot].set(a_sorted, mode="drop")
-        return buf.reshape((n_shards, cap) + a.shape[1:])
-
-    send = [scatter(a) for a in arrays]
-    send_key = scatter(key)
+    send, send_key, counts = _send_buckets(arrays, key, valid, n_shards,
+                                           target)
 
     def a2a(x):
         return jax.lax.all_to_all(x, axis, split_axis=0, concat_axis=0,
@@ -94,6 +79,102 @@ def repartition_by_key(arrays: Tuple[jax.Array, ...], key: jax.Array,
     recv_valid = (jnp.arange(cap, dtype=jnp.int32)[None, :]
                   < recv_counts[:, None]).reshape(n_shards * cap)
     return recv, recv_key, recv_valid
+
+
+# ---------------------------------------------------------------------------
+# ppermute ring exchange — all_to_all split into n-1 independent hops so
+# XLA's latency-hiding scheduler overlaps hop k+1's communication with the
+# compute consuming hop k (the double-buffered exchange of SURVEY §2.3;
+# reference analogue: join_hash.cpp:288-355's partition-phase pipelining
+# across scheduler workers).
+
+
+def _send_buckets(arrays, key, valid, n_shards, target=None):
+    """Cluster local rows into per-destination send buckets
+    ([n_shards, cap] per array) + per-destination counts. Shared by the
+    all_to_all and ring exchanges."""
+    cap = key.shape[0]
+    if target is None:
+        target = partition_hash(key, n_shards)
+    target = jnp.where(valid, target, n_shards)
+    order = jnp.lexsort([target])
+    t_sorted = jnp.take(target, order, axis=0)
+    counts = jax.ops.segment_sum(jnp.ones(cap, dtype=jnp.int32), t_sorted,
+                                 num_segments=n_shards + 1)[:n_shards]
+    offsets = jnp.cumsum(counts) - counts  # exclusive
+    rank = jnp.arange(cap, dtype=jnp.int32) - jnp.take(
+        jnp.append(offsets, 0), jnp.minimum(t_sorted, n_shards), axis=0)
+    slot = jnp.where(t_sorted < n_shards,
+                     t_sorted * cap + rank, n_shards * cap)
+
+    def scatter(a):
+        a_sorted = jnp.take(a, order, axis=0)
+        buf = jnp.zeros((n_shards * cap,) + a.shape[1:], dtype=a.dtype)
+        buf = buf.at[slot].set(a_sorted, mode="drop")
+        return buf.reshape((n_shards, cap) + a.shape[1:])
+
+    return [scatter(a) for a in arrays], scatter(key), counts
+
+
+def ring_repartition_by_key(arrays: Tuple[jax.Array, ...], key: jax.Array,
+                            valid: jax.Array, n_shards: int,
+                            axis: str = SHARD_AXIS,
+                            target: Optional[jax.Array] = None):
+    """repartition_by_key with the exchange as a ppermute ring.
+
+    Identical contract/output layout to repartition_by_key. Step k
+    (k = 1..n_shards-1) sends each shard's bucket for the shard k positions
+    ahead directly there via one collective-permute; the n-1 hops are
+    mutually independent, so each received chunk's placement (and any
+    downstream per-chunk compute) overlaps the next hop's transfer instead
+    of waiting on one monolithic all_to_all barrier. Step 0 is the local
+    bucket (no communication)."""
+    cap = key.shape[0]
+    send, send_key, counts = _send_buckets(arrays, key, valid, n_shards,
+                                           target)
+    me = jax.lax.axis_index(axis)
+    all_send = send + [send_key]
+
+    def chunk_for(k):
+        """(chunks addressed k ahead, their row count) — what I send."""
+        d = (me + k) % n_shards
+        return ([jax.lax.dynamic_index_in_dim(s, d, axis=0, keepdims=False)
+                 for s in all_send],
+                jax.lax.dynamic_index_in_dim(counts, d, keepdims=False))
+
+    recv_store = [jnp.zeros((n_shards, cap) + s.shape[2:], s.dtype)
+                  for s in all_send]
+    recv_counts = jnp.zeros((n_shards,), counts.dtype)
+
+    def place(store, cnts, chunks, cnt, src):
+        store = [jax.lax.dynamic_update_index_in_dim(b, c, src, axis=0)
+                 for b, c in zip(store, chunks)]
+        return store, jax.lax.dynamic_update_index_in_dim(
+            cnts, cnt, src, axis=0)
+
+    own, own_cnt = chunk_for(0)
+    recv_store, recv_counts = place(recv_store, recv_counts, own, own_cnt, me)
+    for k in range(1, n_shards):
+        perm = [(i, (i + k) % n_shards) for i in range(n_shards)]
+        chunks, cnt = chunk_for(k)
+        got = [jax.lax.ppermute(c, axis, perm) for c in chunks]
+        got_cnt = jax.lax.ppermute(cnt, axis, perm)
+        src = (me - k) % n_shards
+        recv_store, recv_counts = place(recv_store, recv_counts,
+                                        got, got_cnt, src)
+
+    recv = [b.reshape((n_shards * cap,) + b.shape[2:])
+            for b in recv_store[:-1]]
+    recv_key = recv_store[-1].reshape(n_shards * cap)
+    recv_valid = (jnp.arange(cap, dtype=jnp.int32)[None, :]
+                  < recv_counts[:, None]).reshape(n_shards * cap)
+    return recv, recv_key, recv_valid
+
+
+def ring_exchange_enabled() -> bool:
+    import os
+    return os.environ.get("HYRISE_TPU_RING_EXCHANGE", "0") not in (
+        "0", "false", "no")
 
 
 # ---------------------------------------------------------------------------
@@ -197,6 +278,80 @@ def dist_join_aggregate_step(mesh: Mesh, n_shards: int,
         revenue = jax.lax.psum(partial_rev, SHARD_AXIS)
         matches = jax.lax.psum(total, SHARD_AXIS)
         return revenue, matches
+
+    spec = P(SHARD_AXIS)
+    fn = shard_map(local_step, mesh=mesh,
+                   in_specs=(spec,) * 6, out_specs=(P(), P()),
+                   check_vma=False)
+    return jax.jit(fn)
+
+
+def ring_join_aggregate_step(mesh: Mesh, n_shards: int):
+    """dist_join_aggregate_step with the shuffle fully OVERLAPPED with the
+    probe compute: the build side (orders, co-partitioned) is sorted once,
+    then each hop of the ppermute ring delivers one source shard's probe
+    chunk, which is searchsorted-probed and reduced IMMEDIATELY — hop k+1's
+    transfer has no data dependency on hop k's probe, so XLA pipelines
+    communication under compute instead of a shuffle barrier followed by a
+    monolithic join. Value-identical to dist_join_aggregate_step (same
+    f64 per-chunk-then-psum reduction tree, chunk order fixed by source
+    shard). Reference analogue: join_hash.cpp:288-355 overlapping the
+    radix-partition scatter with per-partition builds across workers."""
+
+    def probe_chunk(sorted_keys, n_valid, keys, price, disc, cnt):
+        valid = jnp.arange(keys.shape[0], dtype=jnp.int32) < cnt
+        lo = jnp.searchsorted(sorted_keys, keys, side="left")
+        hi = jnp.searchsorted(sorted_keys, keys, side="right")
+        lo = jnp.minimum(lo, n_valid)
+        hi = jnp.minimum(hi, n_valid)
+        matches = jnp.where(valid, jnp.maximum(hi - lo, 0), 0)
+        rev = jnp.where(valid & (matches > 0),
+                        price.astype(jnp.float64) * (1.0 - disc),
+                        0.0) * matches  # unique orderkeys -> matches in {0,1}
+        return jnp.sum(rev), jnp.sum(matches)
+
+    def local_step(l_ok, l_price, l_disc, l_valid, o_ok, o_valid):
+        l_ok, l_price, l_disc, l_valid, o_ok, o_valid = (
+            x.reshape(x.shape[-1]) for x in
+            (l_ok, l_price, l_disc, l_valid, o_ok, o_valid))
+        # build once (local, before the ring starts)
+        if o_ok.dtype.kind == "f":
+            sentinel = jnp.array(jnp.inf, dtype=o_ok.dtype)
+        else:
+            sentinel = jnp.array(jnp.iinfo(o_ok.dtype).max, dtype=o_ok.dtype)
+        sorted_keys = jnp.sort(jnp.where(o_valid, o_ok, sentinel))
+        n_valid = jnp.sum(o_valid)
+
+        send, send_key, counts = _send_buckets(
+            (l_price, l_disc), l_ok, l_valid, n_shards)
+        me = jax.lax.axis_index(SHARD_AXIS)
+        all_send = send + [send_key]
+
+        def chunk_for(k):
+            d = (me + k) % n_shards
+            return ([jax.lax.dynamic_index_in_dim(s, d, axis=0,
+                                                  keepdims=False)
+                     for s in all_send],
+                    jax.lax.dynamic_index_in_dim(counts, d, keepdims=False))
+
+        rev = jnp.float64(0.0)
+        matches = jnp.int32(0)
+        (price0, disc0, key0), cnt0 = chunk_for(0)
+        r, m = probe_chunk(sorted_keys, n_valid, key0, price0, disc0, cnt0)
+        rev += r
+        matches += m
+        for k in range(1, n_shards):
+            perm = [(i, (i + k) % n_shards) for i in range(n_shards)]
+            chunks, cnt = chunk_for(k)
+            price_k, disc_k, key_k = [jax.lax.ppermute(c, SHARD_AXIS, perm)
+                                      for c in chunks]
+            cnt_k = jax.lax.ppermute(cnt, SHARD_AXIS, perm)
+            r, m = probe_chunk(sorted_keys, n_valid, key_k, price_k,
+                               disc_k, cnt_k)
+            rev += r
+            matches += m
+        return (jax.lax.psum(rev, SHARD_AXIS),
+                jax.lax.psum(matches, SHARD_AXIS))
 
     spec = P(SHARD_AXIS)
     fn = shard_map(local_step, mesh=mesh,

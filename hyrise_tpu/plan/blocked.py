@@ -64,12 +64,16 @@ def _decompose(aggregates):
             raise PlanNotCompilable(
                 f"blocked execution: {name} is DISTINCT (not decomposable)")
         if ae.fn is F.AVG:
+            from hyrise_tpu.types import DataType
             s, c = name + "__bsum", name + "__bcnt"
             partial_specs += [(s, AggregateExpr(F.SUM, ae.arg)),
                               (c, AggregateExpr(F.COUNT, ae.arg))]
             final_specs += [(s, AggregateExpr(F.SUM, col(s))),
                             (c, AggregateExpr(F.SUM, col(c)))]
-            finish_cols.append((name, col(s) / col(c)))
+            # AVG is FLOAT64 regardless of input type (aggregate_result_type);
+            # without the cast an INT64 sum / INT64 count truncates
+            finish_cols.append(
+                (name, col(s).cast(DataType.FLOAT64) / col(c)))
         elif ae.fn in (F.SUM, F.COUNT):
             partial_specs.append((name, ae))
             final_specs.append((name, AggregateExpr(F.SUM, col(name))))
@@ -171,21 +175,25 @@ class BlockedCompiledQuery(CompiledQuery):
         from hyrise_tpu.storage.table import Table
 
         n_stream = flat[-1]
+        bounds = self._col_bounds()
         it = iter(flat[:-1])
         for src in self._sources:
             cols = []
             for c in src.columns:
                 data = next(it)
                 validity = next(it) if c.has_validity else None
+                vr = c.val_range if c.val_range is not None \
+                    else bounds.get(c.name)
                 if self._narrow_encoded(c):
                     cap = int(data.shape[0])
                     data = (lambda d=data: d.astype(jnp.int32))
                     cols.append(Column(c.name, c.dtype, data, validity,
                                        c.dictionary, capacity_hint=cap,
-                                       unique=c.unique))
+                                       unique=c.unique, val_range=vr))
                     continue
                 cols.append(Column(c.name, c.dtype, data, validity,
-                                   c.dictionary, unique=c.unique))
+                                   c.dictionary, unique=c.unique,
+                                   val_range=vr))
             n = n_stream if src is self._stream else src.num_rows
             ctx.table_subst[id(src)] = Table(cols, n, name=src.name)
 
@@ -219,9 +227,19 @@ class BlockedCompiledQuery(CompiledQuery):
         node = Projection(final, list(self._groupby) + self._finish_cols)
         if self._tail_parent is None:
             root = node
-        else:
-            self._tail_parent.inputs[0] = node
+            for op in _walk(root):
+                op.clear_output()
+            return execute_plan(root)
+        # temporarily graft the merged subtree under the tail chain; restore
+        # the original Aggregate afterwards so the caller's plan is unchanged
+        orig_child = self._tail_parent.inputs[0]
+        self._tail_parent.inputs[0] = node
+        try:
             root = self._orig_root
-        for op in _walk(root):
-            op.clear_output()
-        return execute_plan(root)
+            for op in _walk(root):
+                op.clear_output()
+            return execute_plan(root)
+        finally:
+            self._tail_parent.inputs[0] = orig_child
+            for op in _walk(self._orig_root):
+                op.clear_output()

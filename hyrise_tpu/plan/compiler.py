@@ -358,12 +358,19 @@ class CompiledQuery:
         from hyrise_tpu.storage.column import Column
         from hyrise_tpu.storage.table import Table
 
+        bounds = self._col_bounds()
         it = iter(flat)
         for src in self._sources:
             cols = []
             for c in src.columns:
                 data = next(it)
                 validity = next(it) if c.has_validity else None
+                # provenance-carried value bound: ingest metadata, or the
+                # (unambiguous-name) host-computed bound — travels on the
+                # Column through passthrough ops so the LUT join only ever
+                # sees bounds for verifiably untransformed base columns
+                vr = c.val_range if c.val_range is not None \
+                    else bounds.get(c.name)
                 if self._narrow_encoded(c):
                     # decode-in-program: lazy astype so untouched columns
                     # cost nothing; XLA fuses the upcast into consumers
@@ -371,10 +378,11 @@ class CompiledQuery:
                     data = (lambda d=data: d.astype(jnp.int32))
                     cols.append(Column(c.name, c.dtype, data, validity,
                                        c.dictionary, capacity_hint=cap,
-                                       unique=c.unique))
+                                       unique=c.unique, val_range=vr))
                     continue
                 cols.append(Column(c.name, c.dtype, data, validity,
-                                   c.dictionary, unique=c.unique))
+                                   c.dictionary, unique=c.unique,
+                                   val_range=vr))
             t = Table(cols, src.num_rows, name=src.name)
             ctx.table_subst[id(src)] = t
 

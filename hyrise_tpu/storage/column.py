@@ -205,10 +205,11 @@ class Column:
         return data
 
     def with_name(self, name: str) -> "Column":
-        # shares the (possibly still-unmaterialized) payload
+        # shares the (possibly still-unmaterialized) payload; a rename
+        # never transforms values, so value metadata survives
         return Column(name, self.dtype, self._data, self._validity,
                       self.dictionary, self._capacity_hint,
-                      unique=self.unique)
+                      unique=self.unique, val_range=self.val_range)
 
     def code_for(self, value: str) -> Optional[int]:
         """Exact dictionary code of a string value, or None if absent."""

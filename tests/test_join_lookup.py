@@ -185,3 +185,65 @@ def test_compiled_lookup_join(fastpath, monkeypatch):
     exp = probe[probe.k < 40].merge(build, left_on="k", right_on="bk")
     assert_tables_equal(out.rows(), list(exp.itertuples(index=False)),
                         ordered=False)
+
+
+def test_compiled_string_join_unequal_dictionaries():
+    """r3 advisor (high): the compiled SEMI join on string keys with
+    DIFFERENT dictionaries remaps codes into merged-dictionary space, but
+    the LUT bound came from ctx.col_bounds in ORIGINAL code space — build
+    keys with merged code > bound were silently dropped. The bound must be
+    (0, len(merged)-1) when a remap occurred."""
+    import pandas as pd
+    from hyrise_tpu.ops.get_table import TableWrapper
+    from hyrise_tpu.ops.join import Join
+    from hyrise_tpu.plan.compiler import CompiledQuery
+    from hyrise_tpu.storage.table import Table
+    from hyrise_tpu.types import JoinMode
+
+    probe = Table.from_pandas("probe", pd.DataFrame(
+        {"s": ["a", "b", "c", "d", "e"]}))
+    build = Table.from_pandas("build", pd.DataFrame(
+        {"t": ["b", "d", "zz"]}))  # 'zz' sorts past every probe value
+    for mode in (JoinMode.SEMI, JoinMode.ANTI):
+        plan = Join(TableWrapper(probe), TableWrapper(build),
+                    mode, ("s", "t"))
+        eager = execute_plan(plan).to_pandas()
+        for op in list(plan.inputs) + [plan]:
+            op.clear_output()
+        compiled = CompiledQuery(
+            Join(TableWrapper(probe), TableWrapper(build),
+                 mode, ("s", "t"))).run().to_pandas()
+        assert sorted(eager["s"]) == sorted(compiled["s"]), mode
+    assert sorted(execute_plan(
+        Join(TableWrapper(probe), TableWrapper(build),
+             JoinMode.SEMI, ("s", "t"))).to_pandas()["s"]) == ["b", "d"]
+
+
+def test_lut_bounds_not_inherited_by_derived_column():
+    """r3 advisor (medium): a projected column aliased to a base column's
+    name (x+1 AS x) must NOT inherit the base column's ingest val_range —
+    bounds travel on the Column and die at any value transformation, so
+    the compiled join falls back to the exact sort probe."""
+    import pandas as pd
+    import numpy as np
+    from hyrise_tpu.expression import ast
+    from hyrise_tpu.ops.get_table import TableWrapper
+    from hyrise_tpu.ops.join import Join
+    from hyrise_tpu.ops.projection import Projection
+    from hyrise_tpu.plan.compiler import CompiledQuery
+    from hyrise_tpu.storage.table import Table
+    from hyrise_tpu.types import JoinMode
+
+    probe = Table.from_pandas("probe", pd.DataFrame(
+        {"x": np.arange(8, dtype=np.int64)}))          # base range [0, 7]
+    build = Table.from_pandas("build", pd.DataFrame(
+        {"x": np.arange(8, dtype=np.int64)}))
+    # derived build key: x+10 AS x — values [10, 17], outside base range
+    shifted = Projection(TableWrapper(build),
+                         [(ast.col("x") + ast.lit(10)).alias("x")])
+    probe_shift = Projection(TableWrapper(probe),
+                             [(ast.col("x") + ast.lit(10)).alias("x")])
+    got = CompiledQuery(
+        Join(probe_shift, shifted, JoinMode.SEMI, ("x", "x"))
+    ).run().to_pandas()
+    assert sorted(got["x"]) == list(range(10, 18))

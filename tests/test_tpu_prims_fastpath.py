@@ -153,3 +153,19 @@ def test_gather_seeding_round_trip():
     assert cq2._gather_sig() == cq1._gather_sig()
     from hyrise_tpu.utils.table_eq import assert_tables_equal
     assert_tables_equal(got.rows(), ref.rows(), ordered=False, rel_tol=1e-9)
+
+
+def test_prefix_sum_i32_mxu_exact_above_2_24():
+    """r3 advisor (low): the 2-limb split capped inputs at 2^24; a skewed
+    join where one probe key matches >=16.7M build rows silently corrupted
+    segment offsets. The 3-limb split must be exact over full int32."""
+    import numpy as np
+    import jax.numpy as jnp
+    from hyrise_tpu.kernels.tpu_prims import prefix_sum_i32_mxu
+
+    rng = np.random.default_rng(11)
+    v = rng.integers(0, 1 << 31, size=1500, dtype=np.int64).astype(np.int32)
+    v[7] = (1 << 31) - 1
+    v[600] = 1 << 24
+    got = np.asarray(prefix_sum_i32_mxu(jnp.asarray(v)))
+    np.testing.assert_array_equal(got, np.cumsum(v.astype(np.int64)))
