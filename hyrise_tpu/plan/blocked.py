@@ -47,7 +47,11 @@ import numpy as np
 from hyrise_tpu.plan.compiler import CompiledQuery, PlanNotCompilable, _walk
 from hyrise_tpu.types import AggregateFunction
 
-_TAIL_OPS = ("Sort", "Projection", "Limit", "Alias")
+# ops that may sit between the root and the split Aggregate; they run
+# EAGERLY on the merged result, so a TableScan here is exactly a HAVING
+# filter over the finished groups (reference: translated HAVING becomes a
+# scan above the aggregate, lqp_translator.cpp predicate chain)
+_TAIL_OPS = ("Sort", "Projection", "Limit", "Alias", "TableScan")
 
 
 def _decompose(aggregates):
@@ -98,24 +102,38 @@ class BlockedCompiledQuery(CompiledQuery):
     def __init__(self, root, catalog=None, stream_table: Optional[str] = None,
                  block_rows: int = 1 << 22):
         from hyrise_tpu.ops.aggregate import Aggregate
+        from hyrise_tpu.ops.misc import Limit
+        from hyrise_tpu.ops.sort import Sort
 
-        # locate the top-level aggregate under a chain of tail ops
+        # locate the decomposable split point under a chain of tail ops:
+        # either a top-level Aggregate (partials merge) or a Limit(Sort(..))
+        # top-K root (per-block top-K rows merge through one final re-sort —
+        # the same K-bounded merge as the distributed top-K,
+        # parallel/dist_compiler.py)
         self._orig_root = root
-        parent, node = None, root
-        while node.name in _TAIL_OPS and len(node.inputs) == 1:
-            parent, node = node, node.inputs[0]
-        if not isinstance(node, Aggregate):
-            raise PlanNotCompilable(
-                "blocked execution needs a top-level Aggregate "
-                f"(found {node.name})")
-        self._tail_parent = parent
-        self._orig_agg = node
-        (partial_specs, self._final_specs,
-         self._finish_cols) = _decompose(node.aggregates)
-        self._groupby = list(node.groupby)
-        partial_agg = Aggregate(node.inputs[0], node.groupby, partial_specs)
-
-        super().__init__(partial_agg, catalog)
+        self._mode = "agg"
+        if isinstance(root, Limit) and isinstance(root.inputs[0], Sort):
+            self._mode = "topk"
+            self._topk_limit = root
+            self._topk_sort = root.inputs[0]
+            self._tail_parent = None
+            super().__init__(root, catalog)
+        else:
+            parent, node = None, root
+            while node.name in _TAIL_OPS and len(node.inputs) == 1:
+                parent, node = node, node.inputs[0]
+            if not isinstance(node, Aggregate):
+                raise PlanNotCompilable(
+                    "blocked execution needs a top-level Aggregate or "
+                    f"Limit(Sort(..)) root (found {node.name})")
+            self._tail_parent = parent
+            self._orig_agg = node
+            (partial_specs, self._final_specs,
+             self._finish_cols) = _decompose(node.aggregates)
+            self._groupby = list(node.groupby)
+            partial_agg = Aggregate(node.inputs[0], node.groupby,
+                                    partial_specs)
+            super().__init__(partial_agg, catalog)
 
         # pick the stream table: the largest source, referenced exactly once
         from hyrise_tpu.ops.get_table import GetTable, TableWrapper
@@ -211,7 +229,43 @@ class BlockedCompiledQuery(CompiledQuery):
             self._block_lo = b * B
             self._block_live = min(B, n - b * B)
             partials.append(super().run(tighten=False))
+        if self._mode == "topk":
+            return self._merge_topk(partials)
         return self._merge_and_finish(partials)
+
+    def _merge_topk(self, partial_tables):
+        """Per-block top-K tables (each the full root applied to one block)
+        -> concat (<= K * n_blocks rows) -> one final re-sort + limit."""
+        from hyrise_tpu.ops.base import execute_plan
+        from hyrise_tpu.ops.get_table import TableWrapper
+        from hyrise_tpu.ops.misc import Limit, UnionAll
+        from hyrise_tpu.ops.sort import Sort
+
+        from hyrise_tpu.storage.column import Column
+        from hyrise_tpu.storage.table import Table
+        from hyrise_tpu.types import bucket_capacity
+
+        def shrink(t):
+            # each partial holds <= K live prefix rows in block-capacity
+            # arrays; slice to the K bucket so the merge concatenates
+            # K * n_blocks rows, not n_blocks full blocks
+            cap = bucket_capacity(max(int(self._topk_limit.n), 1))
+            if cap >= t.capacity:
+                return t
+            cols = [Column(c.name, c.dtype, c.data[:cap],
+                           None if c.validity is None else c.validity[:cap],
+                           c.dictionary, unique=c.unique,
+                           val_range=c.val_range) for c in t.columns]
+            return Table(cols, t.num_rows, name=t.name)
+
+        node = TableWrapper(shrink(partial_tables[0]))
+        for t in partial_tables[1:]:
+            node = UnionAll(node, TableWrapper(shrink(t)))
+        root = Limit(Sort(node, list(self._topk_sort.sort_defs)),
+                     self._topk_limit.n)
+        for op in _walk(root):
+            op.clear_output()
+        return execute_plan(root)
 
     def _merge_and_finish(self, partial_tables):
         from hyrise_tpu.ops.aggregate import Aggregate

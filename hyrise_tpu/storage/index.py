@@ -47,6 +47,32 @@ class SortedIndex:
         return min(start, self.n_valid), min(end, self.n_valid)
 
 
+@dataclasses.dataclass
+class GroupKeyIndex(SortedIndex):
+    """Dictionary-offset index (reference GroupKeyIndex,
+    src/lib/storage/index/group_key/group_key_index.hpp): codes are dense
+    in [0, n_codes), so a host-resident offsets array gives O(1) lookups
+    with ZERO device reads — where the base SortedIndex pays two
+    device searchsorted round trips (~25 ms each on the axon tunnel) per
+    range lookup. postings for code v = perm[offsets[v]:offsets[v+1]]."""
+
+    offsets: np.ndarray = None  # host int64, len n_codes+1; [-1] = n_valid
+
+    def lookup_range(self, lo_value, hi_value, lo_side="left",
+                     hi_side="right") -> Tuple[int, int]:
+        nc = len(self.offsets) - 1
+
+        def pos(v, side):
+            v = int(v)
+            if side == "right":
+                v += 1
+            return int(self.offsets[max(min(v, nc), 0)])
+
+        start = pos(lo_value, lo_side)
+        end = pos(hi_value, hi_side)
+        return min(start, self.n_valid), min(end, self.n_valid)
+
+
 def _masked(c, valid):
     if c.data.dtype.kind == "f":
         sentinel = jnp.array(jnp.inf, dtype=c.data.dtype)
@@ -69,7 +95,16 @@ def create_index(table: Table,
     perm = jnp.lexsort([(~valid).astype(jnp.int32), masked]).astype(jnp.int32)
     sorted_values = jnp.take(masked, perm, axis=0)
     n_valid = int(jnp.sum(valid))
-    idx = SortedIndex(column, perm, sorted_values, n_valid)
+    if c.dtype is DataType.STRING and c.dictionary is not None:
+        # dictionary column: dense code domain -> host offsets, O(1) lookups
+        nc = len(c.dictionary)
+        host_codes = np.asarray(sorted_values[:n_valid])
+        offsets = np.searchsorted(host_codes, np.arange(nc + 1),
+                                  side="left").astype(np.int64)
+        idx: SortedIndex = GroupKeyIndex(column, perm, sorted_values,
+                                         n_valid, offsets)
+    else:
+        idx = SortedIndex(column, perm, sorted_values, n_valid)
     if not hasattr(table, "indexes"):
         table.indexes = {}
     table.indexes[column] = idx

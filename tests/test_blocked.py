@@ -130,3 +130,74 @@ def _walk_plan(root):
 
     rec(root)
     return order
+
+
+def test_blocked_topk_limit_sort_root():
+    """Limit(Sort(..)) roots stream without an aggregate: per-block top-K,
+    K-bucket shrink, one final re-sort of K*n_blocks rows (the chunked
+    analogue of the reference's materialize-sort, sort.cpp:180-210)."""
+    import pandas as pd
+    from hyrise_tpu.expression import ast
+    from hyrise_tpu.ops.get_table import GetTable
+    from hyrise_tpu.ops.misc import Limit
+    from hyrise_tpu.ops.sort import Sort
+    from hyrise_tpu.ops.table_scan import TableScan
+    from hyrise_tpu.storage.table import Table
+    from hyrise_tpu.types import SortMode
+
+    rng = np.random.default_rng(4)
+    n = 5000
+    df = pd.DataFrame({
+        "a": rng.integers(0, 1000, n).astype(np.int64),
+        "v": rng.normal(size=n).astype(np.float64),
+    })
+    cat = Catalog()
+    cat.add_table("t", Table.from_pandas("t", df))
+
+    def plan(c):
+        return Limit(Sort(TableScan(GetTable("t", c),
+                                    ast.col("a") < ast.lit(500)),
+                          [("v", SortMode.DESCENDING), "a"]), 25)
+
+    ref = execute_plan(plan(cat))
+    bq = BlockedCompiledQuery(plan(cat), cat, block_rows=2048)
+    assert bq._mode == "topk" and bq.n_blocks >= 2
+    out = bq.run()
+    assert_tables_equal(out.rows(), ref.rows(), ordered=True, rel_tol=1e-9)
+    out2 = bq.run()  # steady state reuses the block program
+    assert bq.last_retries == 0
+    assert_tables_equal(out2.rows(), ref.rows(), ordered=True, rel_tol=1e-9)
+
+
+def test_blocked_having_tail():
+    """A TableScan between the root and the Aggregate (HAVING) runs on the
+    merged result."""
+    import pandas as pd
+    from hyrise_tpu.expression import ast
+    from hyrise_tpu.ops.aggregate import Aggregate
+    from hyrise_tpu.ops.get_table import GetTable
+    from hyrise_tpu.ops.sort import Sort
+    from hyrise_tpu.ops.table_scan import TableScan
+    from hyrise_tpu.storage.table import Table
+
+    rng = np.random.default_rng(9)
+    n = 4000
+    df = pd.DataFrame({
+        "g": rng.integers(0, 50, n).astype(np.int64),
+        "v": rng.random(n).astype(np.float64),
+    })
+    cat = Catalog()
+    cat.add_table("t", Table.from_pandas("t", df))
+
+    def plan(c):
+        agg = Aggregate(GetTable("t", c), ["g"],
+                        [("s", ast.sum_(ast.col("v")))])
+        having = TableScan(agg, ast.col("s") > ast.lit(40.0))
+        return Sort(having, ["g"])
+
+    ref = execute_plan(plan(cat))
+    assert ref.num_rows > 0
+    bq = BlockedCompiledQuery(plan(cat), cat, block_rows=1024)
+    assert bq.n_blocks >= 2
+    out = bq.run()
+    assert_tables_equal(out.rows(), ref.rows(), ordered=True, rel_tol=1e-9)

@@ -169,3 +169,32 @@ def test_index_scan_extra_equals_without_composite_index(env):
     out = execute_plan(scan)
     assert out.num_rows == int(((df.a == 7) & (df.s == "red")).sum())
     assert scan.performance_data.extra.get("index_fallback") is True
+
+
+def test_group_key_index_on_dictionary_column(env):
+    """Dictionary columns get the GroupKey dictionary-offset index
+    (reference group_key_index.hpp): host-resident offsets, O(1) lookups
+    with no device reads, same semantics as the sorted-permutation search."""
+    from hyrise_tpu.storage.index import GroupKeyIndex, SortedIndex
+
+    df, t, cat = env
+    idx = create_index(t, ["s"])
+    assert isinstance(idx, GroupKeyIndex)
+    # equality lookups must match a reference binary search on the codes
+    base = SortedIndex(idx.column, idx.perm, idx.sorted_values, idx.n_valid)
+    nc = len(t.column("s").dictionary)
+    for code in range(-1, nc + 2):
+        assert idx.lookup_range(code, code) == base.lookup_range(code, code)
+        assert (idx.lookup_range(code, code, "left", "left")
+                == base.lookup_range(code, code, "left", "left"))
+    # postings counts match the data
+    for i, word in enumerate(t.column("s").dictionary):
+        lo, hi = idx.lookup_range(i, i)
+        assert hi - lo == int((df.s == word).sum()), word
+    # IndexScan end-to-end through the O(1) path
+    scan = IndexScan(GetTable("t", cat), "s", PredicateCondition.EQUALS,
+                     "teal")
+    out = execute_plan(scan)
+    assert out.num_rows == int((df.s == "teal").sum())
+    # integer columns keep the plain sorted index
+    assert not isinstance(create_index(t, ["a"]), GroupKeyIndex)
