@@ -47,12 +47,19 @@ class Aggregate(AbstractOperator):
         self.aggregates = list(aggregates)
 
     def _on_execute(self, context) -> Table:
+        table = self.input_table(0)
         out = self._execute_impl(context)
         if len(self.groupby) == 1 and out.has_column(self.groupby[0]):
             # each group appears once: a single group-by key is unique in
             # the output (drives the fused lookup join against aggregated
             # subqueries, e.g. Q2/Q15/Q17/Q21 shapes)
             out.column(self.groupby[0]).unique = True
+        for name in self.groupby:
+            # group keys are a SUBSET of the input column's values, so the
+            # ingest range bound survives grouping (keeps the LUT join
+            # available when joining back against aggregated subqueries)
+            if out.has_column(name) and table.has_column(name):
+                out.column(name).val_range = table.column(name).val_range
         return out
 
     def _execute_impl(self, context) -> Table:
