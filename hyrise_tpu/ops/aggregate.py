@@ -400,23 +400,133 @@ class Aggregate(AbstractOperator):
 
     # -- general group-by: ONE multi-operand sort + run reductions ----------
 
+    # -- order-preserving group-key packing --------------------------------
+    # Remote-TPU sort compile time scales ~linearly with operand count
+    # (tpu_prims payload packing header); a 7-column GROUP BY (Q10) as one
+    # int64 key per column wedged the axon compile helper outright. Host-
+    # known metadata makes most keys fixed-width: dictionary codes span
+    # ceil(log2(|dict|)) bits, integers with ingest val_range span the
+    # range width, and floats become order-preserved int64 bit patterns.
+    # Fields concatenate MSB-first into 63-bit words, so lexicographic
+    # word order == the original per-column ascending order (NULLs first
+    # as a 0 validity bit above each nullable field) and group OUTPUT
+    # ORDER is unchanged.
+
+    _F64_FLIP = 0x7FFFFFFFFFFFFFFF
+
+    @classmethod
+    def _float_sort_key(cls, data) -> jax.Array:
+        """Order-preserving float64 -> int64 (involution; -0.0 normalized
+        to +0.0 so both zeros group together)."""
+        f = data.astype(jnp.float64)
+        f = jnp.where(f == 0, jnp.float64(0.0), f)
+        i = jax.lax.bitcast_convert_type(f, jnp.int64)
+        return jnp.where(i >= 0, i, i ^ jnp.int64(cls._F64_FLIP))
+
+    @classmethod
+    def _float_from_sort_key(cls, key) -> jax.Array:
+        i = jnp.where(key >= 0, key, key ^ jnp.int64(cls._F64_FLIP))
+        return jax.lax.bitcast_convert_type(i, jnp.float64)
+
+    @staticmethod
+    def _packable_width(c) -> Optional[Tuple[int, int]]:
+        """(bit width, lo offset) when the column's live values fit a
+        host-known non-negative fixed-width field; None -> raw operand."""
+        if c.dtype is DataType.STRING and c.dictionary is not None:
+            return max(1, (max(len(c.dictionary) - 1, 1)).bit_length()), 0
+        if c.dtype.is_integral and c.val_range is not None:
+            lo, hi = c.val_range
+            w = max(1, int(hi - lo).bit_length())
+            return (w, int(lo)) if w <= 62 else None
+        return None
+
+    def _group_key_operands(self, gb_cols, live):
+        """(key_operands, specs). key_operands[0] = int8 dead flag; specs
+        describe how each group column reads (value, validity) back from
+        the SORTED operands:
+          ("packed", op_idx, shift, width, lo, vshift or None)
+          ("raw", value_op_idx, validity_op_idx or None, is_float)
+        """
+        ops: List[jax.Array] = [(~live).astype(jnp.int8)]
+        specs: List[Optional[tuple]] = [None] * len(gb_cols)
+
+        fields = []  # (col_idx, width(+vbit), value_u64, lo)
+        for i, c in enumerate(gb_cols):
+            pw = self._packable_width(c)
+            if pw is None:
+                fields.append((i, None, None, None))
+                continue
+            w, lo = pw
+            vals = c.data.astype(jnp.int64) - jnp.int64(lo)
+            ok = live
+            if c.has_validity:
+                ok = ok & c.validity
+            vals = jnp.where(ok, vals, jnp.int64(0))
+            u = jax.lax.bitcast_convert_type(vals, jnp.uint64)
+            total_w = w
+            if c.has_validity:
+                valid_u = jax.lax.bitcast_convert_type(
+                    (live & c.validity).astype(jnp.int64), jnp.uint64)
+                u = u | (valid_u << w)
+                total_w = w + 1
+            fields.append((i, total_w, u, (w, lo)))
+
+        # greedy word fill, preserving column order (word boundaries keep
+        # the cross-word lexicographic order equal to the column order)
+        word_parts = []   # accumulating (col_idx, total_w, u, (w, lo))
+        word_bits = 0
+
+        def flush():
+            nonlocal word_parts, word_bits
+            if not word_parts:
+                return
+            acc = None
+            shift = word_bits
+            op_idx = len(ops)
+            for col_idx, total_w, u, (w, lo) in word_parts:
+                shift -= total_w
+                part = u << shift
+                acc = part if acc is None else (acc | part)
+                vshift = (shift + w) if total_w == w + 1 else None
+                specs[col_idx] = ("packed", op_idx, shift, w, lo, vshift)
+            ops.append(jax.lax.bitcast_convert_type(acc, jnp.int64))
+            word_parts, word_bits = [], 0
+
+        for i, total_w, u, meta in fields:
+            if total_w is None:
+                flush()  # raw operand breaks the word to keep key order
+                c = gb_cols[i]
+                vidx = None
+                ok = live
+                if c.has_validity:
+                    ok = ok & c.validity
+                    vidx = len(ops)
+                    ops.append(c.validity.astype(jnp.int8))
+                is_float = not (c.dtype.is_integral
+                                or c.dtype is DataType.STRING)
+                key = self._float_sort_key(c.data) if is_float \
+                    else c.data.astype(jnp.int64)
+                key = jnp.where(ok, key, jnp.int64(0))
+                specs[i] = ("raw", len(ops), vidx, is_float)
+                ops.append(key)
+                continue
+            if word_bits + total_w > 63:
+                flush()
+            word_parts.append((i, total_w, u, meta))
+            word_bits += total_w
+        flush()
+        return ops, specs
+
     def _fast_sorted(self, table: Table, live, compiled) -> Table:
         from hyrise_tpu.kernels.tpu_prims import (compact_indices,
                                                   segment_sums_sorted)
-        from hyrise_tpu.ops.sort_util import _value_key
         from hyrise_tpu.plan.compiler import oracle_capacity
 
         cap = table.capacity
         n = table.num_rows
         gb_cols = [table.column(name) for name in self.groupby]
 
-        # sort keys, most significant first: dead flag, then per group
-        # column (null flag [nulls first], value)
-        keys = [(~live).astype(jnp.int8)]
-        for c in gb_cols:
-            if c.has_validity:
-                keys.append(c.validity.astype(jnp.int8))
-            keys.append(_value_key(c.data, c.dtype, True))
+        keys, specs = self._group_key_operands(gb_cols, live)
         payloads = []
         for _, fn, data, validity, _, _ in compiled:
             if data is not None:
@@ -428,25 +538,34 @@ class Aggregate(AbstractOperator):
             keys, payloads, is_stable=True)
         live_s = key_sorted[0] == 0
 
-        # group boundaries over the sorted key columns (NULLs = one group)
+        # group boundaries: any key operand differing from the previous
+        # sorted row starts a new group (packed null fields are zeroed, so
+        # all NULLs of a column compare equal — one group, NULLs first)
         flags = jnp.zeros(cap, dtype=bool).at[0].set(n > 0)
-        ki = 1
-        sorted_gb = []  # (value_key_sorted, validity_sorted or None)
-        for c in gb_cols:
-            if c.has_validity:
-                val_s = key_sorted[ki] == 1
-                ki += 1
+        differs = jnp.zeros(cap, dtype=bool)
+        for ks in key_sorted[1:]:
+            differs = differs | (ks != jnp.roll(ks, 1))
+        flags = (flags | differs.at[0].set(False)) & live_s
+
+        sorted_gb = []  # (rep value extractor, rep validity extractor)
+        for c, spec in zip(gb_cols, specs):
+            if spec[0] == "packed":
+                _, op_idx, shift, w, lo, vshift = spec
+                u = jax.lax.bitcast_convert_type(key_sorted[op_idx],
+                                                 jnp.uint64)
+                raw = jax.lax.bitcast_convert_type(
+                    (u >> shift) & jnp.uint64((1 << w) - 1), jnp.int64)
+                v_s = raw + jnp.int64(lo)
+                val_s = None if vshift is None else \
+                    (jax.lax.bitcast_convert_type(
+                        (u >> vshift) & jnp.uint64(1), jnp.int64) == 1)
             else:
-                val_s = None
-            v_s = key_sorted[ki]
-            ki += 1
+                _, vopi, vidx, is_float = spec
+                v_s = key_sorted[vopi]
+                if is_float:
+                    v_s = self._float_from_sort_key(v_s)
+                val_s = None if vidx is None else (key_sorted[vidx] == 1)
             sorted_gb.append((v_s, val_s))
-            differs = v_s != jnp.roll(v_s, 1)
-            if val_s is not None:
-                vp = jnp.roll(val_s, 1)
-                differs = (differs & val_s & vp) | (val_s != vp)
-            flags = flags | differs.at[0].set(False)
-        flags = flags & live_s
 
         n_groups, seg_cap = oracle_capacity(
             jnp.sum(flags.astype(jnp.int64)), bound=cap,

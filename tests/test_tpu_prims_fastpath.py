@@ -169,3 +169,69 @@ def test_prefix_sum_i32_mxu_exact_above_2_24():
     v[600] = 1 << 24
     got = np.asarray(prefix_sum_i32_mxu(jnp.asarray(v)))
     np.testing.assert_array_equal(got, np.cumsum(v.astype(np.int64)))
+
+
+def test_fast_sorted_groupby_key_packing_wide():
+    """Wide multi-key GROUP BY (the Q10 shape: many dictionary columns +
+    a float column + ranged ints) through the fast path: packed key words
+    must produce the same groups, order, reps, NULL handling, and
+    aggregates as the eager engine."""
+    import pandas as pd
+    from hyrise_tpu.expression import ast
+    from hyrise_tpu.ops.aggregate import Aggregate
+    from hyrise_tpu.ops.base import execute_plan
+    from hyrise_tpu.ops.get_table import TableWrapper
+    from hyrise_tpu.ops.sort import Sort
+    from hyrise_tpu.storage.table import Table
+    from hyrise_tpu.utils.table_eq import assert_tables_equal
+
+    rng = np.random.default_rng(42)
+    n = 3000
+    df = pd.DataFrame({
+        "s1": rng.choice([f"w{i}" for i in range(40)], n),
+        "s2": rng.choice(["a", "b", "c"], n),
+        "s3": rng.choice([f"x{i}" for i in range(300)], n),
+        "i1": rng.integers(-50, 2000, n).astype(np.int64),
+        "f1": np.round(rng.normal(size=n), 1),   # float keys incl. dup + neg
+        "i2": rng.integers(0, 5, n).astype(np.int32),
+        "v": rng.random(n).astype(np.float64),
+    })
+    df["s2"] = df["s2"].astype(object)
+    df.loc[rng.choice(n, 200, replace=False), "s2"] = None
+    df.loc[rng.choice(n, 200, replace=False), "f1"] = None
+    t = Table.from_pandas("t", df)
+    assert t.column("i1").val_range is not None
+    assert t.column("s2").has_validity
+
+    gb = ["s1", "s2", "s3", "i1", "f1", "i2"]
+
+    def plan(src):
+        return Sort(Aggregate(TableWrapper(src), gb, [
+            ("sv", ast.sum_(ast.col("v"))),
+            ("cnt", ast.count_()),
+            ("mx", ast.max_(ast.col("v"))),
+        ]), gb)
+
+    import os
+    os.environ["HYRISE_TPU_FASTPATH"] = "0"
+    try:
+        ref = execute_plan(plan(t))
+    finally:
+        os.environ["HYRISE_TPU_FASTPATH"] = "1"
+    try:
+        agg = Aggregate(TableWrapper(t), gb, [
+            ("sv", ast.sum_(ast.col("v"))),
+            ("cnt", ast.count_()),
+            ("mx", ast.max_(ast.col("v"))),
+        ])
+        got_unsorted = execute_plan(agg)
+        got = execute_plan(Sort(TableWrapper(got_unsorted), gb))
+    finally:
+        os.environ.pop("HYRISE_TPU_FASTPATH", None)
+    assert_tables_equal(got.rows(), ref.rows(), ordered=True, rel_tol=1e-9)
+    # packing actually reduced operands: 6 keys + dead flag -> few words
+    keys, specs = agg._group_key_operands(
+        [t.column(c) for c in gb], t.live_mask())
+    # dead flag + packed word + (f1 validity + f1 raw) + packed word
+    assert len(keys) <= 5, len(keys)
+    assert sum(1 for s in specs if s[0] == "packed") == 5
