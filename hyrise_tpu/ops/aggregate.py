@@ -412,22 +412,6 @@ class Aggregate(AbstractOperator):
     # as a 0 validity bit above each nullable field) and group OUTPUT
     # ORDER is unchanged.
 
-    _F64_FLIP = 0x7FFFFFFFFFFFFFFF
-
-    @classmethod
-    def _float_sort_key(cls, data) -> jax.Array:
-        """Order-preserving float64 -> int64 (involution; -0.0 normalized
-        to +0.0 so both zeros group together)."""
-        f = data.astype(jnp.float64)
-        f = jnp.where(f == 0, jnp.float64(0.0), f)
-        i = jax.lax.bitcast_convert_type(f, jnp.int64)
-        return jnp.where(i >= 0, i, i ^ jnp.int64(cls._F64_FLIP))
-
-    @classmethod
-    def _float_from_sort_key(cls, key) -> jax.Array:
-        i = jnp.where(key >= 0, key, key ^ jnp.int64(cls._F64_FLIP))
-        return jax.lax.bitcast_convert_type(i, jnp.float64)
-
     @staticmethod
     def _packable_width(c) -> Optional[Tuple[int, int]]:
         """(bit width, lo offset) when the column's live values fit a
@@ -504,9 +488,17 @@ class Aggregate(AbstractOperator):
                     ops.append(c.validity.astype(jnp.int8))
                 is_float = not (c.dtype.is_integral
                                 or c.dtype is DataType.STRING)
-                key = self._float_sort_key(c.data) if is_float \
-                    else c.data.astype(jnp.int64)
-                key = jnp.where(ok, key, jnp.int64(0))
+                if is_float:
+                    # float keys stay native f64: the TPU compile helper
+                    # DIES on bitcast_convert_type(f64 -> i64) (exit 1 —
+                    # the Q10/Q18 failure), while f64-key sorts compile
+                    # fine. -0.0 == 0.0 under IEEE compare, so both zeros
+                    # land in one group; NaNs split (pre-packing behavior)
+                    key = jnp.where(ok, c.data.astype(jnp.float64),
+                                    jnp.float64(0.0))
+                else:
+                    key = jnp.where(ok, c.data.astype(jnp.int64),
+                                    jnp.int64(0))
                 specs[i] = ("raw", len(ops), vidx, is_float)
                 ops.append(key)
                 continue
@@ -562,8 +554,6 @@ class Aggregate(AbstractOperator):
             else:
                 _, vopi, vidx, is_float = spec
                 v_s = key_sorted[vopi]
-                if is_float:
-                    v_s = self._float_from_sort_key(v_s)
                 val_s = None if vidx is None else (key_sorted[vidx] == 1)
             sorted_gb.append((v_s, val_s))
 

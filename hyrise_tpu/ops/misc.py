@@ -175,9 +175,25 @@ def _row_hash(t: Table) -> jnp.ndarray:
     for c in t.columns:
         v = c.data
         if v.dtype.kind == "f":
-            # bitcast: equal floats hash equal, no truncation collisions
-            v = jax.lax.bitcast_convert_type(
-                v.astype(jnp.float64), jnp.int64).astype(jnp.uint64)
+            # exact triple-f32 decomposition: f64 = hi + mid + lo with each
+            # part exactly representable in f32 (53 <= 3*24 mantissa bits),
+            # so equal floats hash equal and distinct floats give distinct
+            # triples. Only 32-bit bitcasts are used — the TPU compile
+            # helper dies on bitcast_convert_type(f64 -> i64) AND on
+            # jnp.frexp (both probed, exit code 1).
+            f = v.astype(jnp.float64)
+            hi = f.astype(jnp.float32)
+            r1 = f - hi.astype(jnp.float64)
+            mid = r1.astype(jnp.float32)
+            lo = (r1 - mid.astype(jnp.float64)).astype(jnp.float32)
+
+            def b32(x):
+                return jax.lax.bitcast_convert_type(x, jnp.int32) \
+                    .astype(jnp.uint32).astype(jnp.uint64)
+
+            v = (b32(hi) * jnp.uint64(0x100000001B3)
+                 + b32(mid) * jnp.uint64(0x9E3779B97F4A7C15)
+                 + b32(lo))
         else:
             v = v.astype(jnp.uint64)
         if c.validity is not None:
