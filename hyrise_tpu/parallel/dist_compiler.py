@@ -561,7 +561,9 @@ class DistributedCompiledQuery(CompiledQuery):
         for i, lab in enumerate(self._labels):
             if i >= arr.shape[1]:
                 break
-            if not ("exchange." in lab or lab.startswith("skew")):
+            if not ("exchange." in lab or "shuffle" in lab
+                    or "localize" in lab or "gather" in lab
+                    or "mpsm" in lab or lab.startswith("skew")):
                 continue
             entry = stats.setdefault(lab, {"sites": 0, "rows": 0,
                                            "moved_rows": 0})
