@@ -493,7 +493,9 @@ class Aggregate(AbstractOperator):
                     # DIES on bitcast_convert_type(f64 -> i64) (exit 1 —
                     # the Q10/Q18 failure), while f64-key sorts compile
                     # fine. -0.0 == 0.0 under IEEE compare, so both zeros
-                    # land in one group; NaNs split (pre-packing behavior)
+                    # land in one group; NaNs sort contiguous and the
+                    # NaN-aware boundary check below merges them into ONE
+                    # group (all bit patterns)
                     key = jnp.where(ok, c.data.astype(jnp.float64),
                                     jnp.float64(0.0))
                 else:
@@ -532,11 +534,20 @@ class Aggregate(AbstractOperator):
 
         # group boundaries: any key operand differing from the previous
         # sorted row starts a new group (packed null fields are zeroed, so
-        # all NULLs of a column compare equal — one group, NULLs first)
+        # all NULLs of a column compare equal — one group, NULLs first).
+        # Float operands get a NaN-aware compare: lax.sort's total order
+        # clusters NaNs contiguously, and NaN != NaN would otherwise start
+        # a new group per NaN row — all NaNs form ONE group (SQL grouping
+        # treats NaN like a single key; also covers every NaN bit pattern,
+        # stronger than the old identical-bits-only grouping)
         flags = jnp.zeros(cap, dtype=bool).at[0].set(n > 0)
         differs = jnp.zeros(cap, dtype=bool)
         for ks in key_sorted[1:]:
-            differs = differs | (ks != jnp.roll(ks, 1))
+            prev = jnp.roll(ks, 1)
+            neq = ks != prev
+            if jnp.issubdtype(ks.dtype, jnp.floating):
+                neq = neq & ~(jnp.isnan(ks) & jnp.isnan(prev))
+            differs = differs | neq
         flags = (flags | differs.at[0].set(False)) & live_s
 
         sorted_gb = []  # (rep value extractor, rep validity extractor)

@@ -145,12 +145,12 @@ class IndexScan(AbstractOperator):
         P = PredicateCondition
         cond = self.cond
         if cond is P.BETWEEN:
-            return Between(col_ref, Literal(self.value), Literal(self.value2))
-        if cond in (P.LIKE, P.NOT_LIKE):
-            return Like(col_ref, self.value, negate=cond is P.NOT_LIKE)
-        if cond in (P.IS_NULL, P.IS_NOT_NULL):
-            return IsNull(col_ref, negate=cond is P.IS_NOT_NULL)
-        if cond in (P.IN, P.NOT_IN):
+            expr = Between(col_ref, Literal(self.value), Literal(self.value2))
+        elif cond in (P.LIKE, P.NOT_LIKE):
+            expr = Like(col_ref, self.value, negate=cond is P.NOT_LIKE)
+        elif cond in (P.IS_NULL, P.IS_NOT_NULL):
+            expr = IsNull(col_ref, negate=cond is P.IS_NOT_NULL)
+        elif cond in (P.IN, P.NOT_IN):
             vals = self.value if isinstance(self.value, (list, tuple)) \
                 else [self.value]
             expr = InList(col_ref, [Literal(v) for v in vals],

@@ -179,11 +179,43 @@ def _row_hash(t: Table) -> jnp.ndarray:
             # part exactly representable in f32 (53 <= 3*24 mantissa bits),
             # so equal floats hash equal and distinct floats give distinct
             # triples. Only 32-bit bitcasts are used — the TPU compile
-            # helper dies on bitcast_convert_type(f64 -> i64) AND on
-            # jnp.frexp (both probed, exit code 1).
+            # helper dies on ANY bitcast_convert involving 64-bit floats
+            # (its X64-rewrite pass lacks f64 bitcast-convert; probed:
+            # f64->i64 and f64->2xi32 both exit 1) and on jnp.frexp.
+            #
+            # The split is only exact when the value's exponent lies in
+            # ~[-96, 127] (hi must be finite, lo must not hit f32's
+            # subnormal floor). Values outside f32's range would otherwise
+            # collapse (all |v|>3.4e38 -> (inf,-inf,nan)); so first rescale
+            # by a per-band power of two (exact multiplication) chosen from
+            # the value's approximate log2, and mix the band index into the
+            # hash. Distinct f64s land either in different bands or in
+            # distinct triples within a band; equal values always take the
+            # same (deterministic) band.
             f = v.astype(jnp.float64)
-            hi = f.astype(jnp.float32)
-            r1 = f - hi.astype(jnp.float64)
+            a = jnp.abs(f)
+            e = jnp.log2(jnp.where(a > 0, a, 1.0))
+            band = jnp.clip(jnp.floor((e + 1100.0) / 180.0),
+                            0.0, 11.0).astype(jnp.int32)
+            # scale = 2^(1020 - 180*band): maps band b's exponent range
+            # [180b-1100, 180b-920) into [-80, 100) — all exponents at
+            # which the triple split is exact. Built bit-by-bit from the
+            # band index with exact power-of-two factors; every
+            # intermediate stays within f64's exponent range (worst case
+            # band 11: 2^1020 -> 2^840 -> 2^480 -> 2^-240 -> 2^-960).
+            scale = jnp.float64(2.0) ** 1020
+            scale = jnp.where(band & 1 == 1, scale * jnp.float64(2.0) ** -180,
+                              scale)
+            scale = jnp.where(band & 2 == 2, scale * jnp.float64(2.0) ** -360,
+                              scale)
+            scale = jnp.where(band & 4 == 4, scale * jnp.float64(2.0) ** -720,
+                              scale)
+            scale = jnp.where(band & 8 == 8,
+                              scale * jnp.float64(2.0) ** -720
+                              * jnp.float64(2.0) ** -720, scale)
+            w = f * scale
+            hi = w.astype(jnp.float32)
+            r1 = w - hi.astype(jnp.float64)
             mid = r1.astype(jnp.float32)
             lo = (r1 - mid.astype(jnp.float64)).astype(jnp.float32)
 
@@ -193,7 +225,8 @@ def _row_hash(t: Table) -> jnp.ndarray:
 
             v = (b32(hi) * jnp.uint64(0x100000001B3)
                  + b32(mid) * jnp.uint64(0x9E3779B97F4A7C15)
-                 + b32(lo))
+                 + b32(lo)
+                 + band.astype(jnp.uint64) * jnp.uint64(0xC2B2AE3D27D4EB4F))
         else:
             v = v.astype(jnp.uint64)
         if c.validity is not None:

@@ -70,6 +70,10 @@ def group_boundaries(table: Table, groupby: Sequence[str],
         v = jnp.take(c.data, perm, axis=0)
         prev = jnp.roll(v, 1)
         differs = v != prev
+        if jnp.issubdtype(v.dtype, jnp.floating):
+            # the sort clusters NaNs contiguously; NaN != NaN would start a
+            # new group per NaN row — SQL grouping puts all NaNs in ONE
+            differs = differs & ~(jnp.isnan(v) & jnp.isnan(prev))
         if c.validity is not None:
             val = jnp.take(c.validity, perm, axis=0)
             val_prev = jnp.roll(val, 1)

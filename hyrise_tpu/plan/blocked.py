@@ -112,7 +112,16 @@ class BlockedCompiledQuery(CompiledQuery):
         # parallel/dist_compiler.py)
         self._orig_root = root
         self._mode = "agg"
-        if isinstance(root, Limit) and isinstance(root.inputs[0], Sort):
+        # top-K per-block is only row-distributive when each output row
+        # derives from a single stream row: an Aggregate anywhere under the
+        # Sort means groups split across blocks would surface as duplicate
+        # keys with partial values in the merged top-K (silently wrong) —
+        # those roots take the aggregate-split walk below instead
+        def _has_aggregate(node):
+            return any(isinstance(op, Aggregate) for op in _walk(node))
+
+        if isinstance(root, Limit) and isinstance(root.inputs[0], Sort) \
+                and not _has_aggregate(root.inputs[0]):
             self._mode = "topk"
             self._topk_limit = root
             self._topk_sort = root.inputs[0]
