@@ -177,23 +177,22 @@ class BlockedCompiledQuery(CompiledQuery):
     # -- per-block argument slicing ---------------------------------------
 
     def _flat_args(self):
+        # FULL device arrays for every source (the stream table included) —
+        # the block window is cut INSIDE the compiled program with
+        # dynamic_slice on a traced offset. Eager per-column lax.slice here
+        # would cost one tunnel dispatch per column per block on the remote
+        # TPU (~25ms each) and make every block offset its own program.
         args = []
-        lo, B = self._block_lo, self.block_rows
         for t in self._sources:
-            stream = t is self._stream
             for c in t.columns:
-                data = (c.encoded.codes if self._narrow_encoded(c)
-                        else c.data)
-                if stream:
-                    data = jax.lax.slice_in_dim(data, lo, lo + B)
-                args.append(data)
+                args.append(c.encoded.codes if self._narrow_encoded(c)
+                            else c.data)
                 if c.has_validity:
-                    v = c.validity
-                    if stream:
-                        v = jax.lax.slice_in_dim(v, lo, lo + B)
-                    args.append(v)
-        # traced per-block live row count (the last block is partial); one
-        # extra scalar arg keeps every block on the SAME compiled program
+                    args.append(c.validity)
+        # two traced scalars keep every block on the SAME compiled program:
+        # the block's start offset and its live row count (last block is
+        # partial)
+        args.append(jnp.asarray(self._block_lo, dtype=jnp.int64))
         args.append(jnp.asarray(self._block_live, dtype=jnp.int64))
         return args
 
@@ -201,27 +200,41 @@ class BlockedCompiledQuery(CompiledQuery):
         from hyrise_tpu.storage.column import Column
         from hyrise_tpu.storage.table import Table
 
+        lo = flat[-2]
         n_stream = flat[-1]
+        B = self.block_rows
         bounds = self._col_bounds()
-        it = iter(flat[:-1])
+        it = iter(flat[:-2])
         for src in self._sources:
+            stream = src is self._stream
             cols = []
             for c in src.columns:
                 data = next(it)
                 validity = next(it) if c.has_validity else None
+                if stream:
+                    if validity is not None:
+                        validity = jax.lax.dynamic_slice_in_dim(
+                            validity, lo, B)
                 vr = c.val_range if c.val_range is not None \
                     else bounds.get(c.name)
                 if self._narrow_encoded(c):
-                    cap = int(data.shape[0])
-                    data = (lambda d=data: d.astype(jnp.int32))
+                    cap = B if stream else int(data.shape[0])
+                    if stream:
+                        data = (lambda d=data, o=lo:
+                                jax.lax.dynamic_slice_in_dim(d, o, B)
+                                .astype(jnp.int32))
+                    else:
+                        data = (lambda d=data: d.astype(jnp.int32))
                     cols.append(Column(c.name, c.dtype, data, validity,
                                        c.dictionary, capacity_hint=cap,
                                        unique=c.unique, val_range=vr))
                     continue
+                if stream:
+                    data = jax.lax.dynamic_slice_in_dim(data, lo, B)
                 cols.append(Column(c.name, c.dtype, data, validity,
                                    c.dictionary, unique=c.unique,
                                    val_range=vr))
-            n = n_stream if src is self._stream else src.num_rows
+            n = n_stream if stream else src.num_rows
             ctx.table_subst[id(src)] = Table(cols, n, name=src.name)
 
     # -- blocked run -------------------------------------------------------
