@@ -34,6 +34,17 @@ against the sequential oracle.
 Supported shape: root = [tail ops]* -> Aggregate(subtree containing the
 stream table exactly once). Anything else raises PlanNotCompilable — the
 non-blocked compiler remains the general path.
+
+Soundness: block decomposition is only correct when every output row of the
+split subtree derives from exactly ONE stream-table row (row
+distributivity). The path from the stream leaf to the split point must
+therefore cross only row-distributive edges: filters/projections, and joins
+where the stream side's rows are preserved independently of how the OTHER
+side is blocked. Streaming the BUILD side of a semi/anti join, the
+null-producing side of an outer join, or through a nested Aggregate silently
+double- or under-counts (an order with matching lineitems in two blocks
+passes a per-block semi join twice). `_validate_distributive` enforces this;
+plans that fail it must be decomposed by plan/segmented.py instead.
 """
 
 from __future__ import annotations
@@ -45,7 +56,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from hyrise_tpu.plan.compiler import CompiledQuery, PlanNotCompilable, _walk
-from hyrise_tpu.types import AggregateFunction
+from hyrise_tpu.types import (AggregateFunction, EXISTENCE_MODES, JoinMode)
 
 # ops that may sit between the root and the split Aggregate; they run
 # EAGERLY on the merged result, so a TableScan here is exactly a HAVING
@@ -165,6 +176,7 @@ class BlockedCompiledQuery(CompiledQuery):
                 f"stream table {self._stream.name} referenced {refs} times "
                 "(blocked execution is only row-distributive over a single "
                 "occurrence)")
+        self._validate_distributive()
         self.block_rows = min(block_rows, self._stream.capacity)
         if self._stream.capacity % self.block_rows:
             raise PlanNotCompilable(
@@ -173,6 +185,76 @@ class BlockedCompiledQuery(CompiledQuery):
         self._block_lo = 0
         self._block_live = self.block_rows
         self.n_blocks = -(-self._stream.num_rows // self.block_rows)
+
+    # -- soundness ---------------------------------------------------------
+
+    # single-input ops whose every output row derives from exactly one input
+    # row (filters / column rewrites): always safe to stream through
+    _ROW_DISTRIBUTIVE_1IN = ("TableScan", "Projection", "Alias", "Validate",
+                             "Materialize")
+
+    def _validate_distributive(self) -> None:
+        """Refuse decompositions where blocking the stream table changes the
+        result: the path from the stream leaf to the split point must cross
+        only row-distributive edges (module docstring). The reference has no
+        analogue — its chunk loops always see the WHOLE other side
+        (join_hash.cpp builds over all chunks); here the split subtree sees
+        one block at a time, so e.g. a per-block semi join against a blocked
+        build side would re-emit a probe row for every block it matches."""
+        from hyrise_tpu.ops.get_table import GetTable, TableWrapper
+        from hyrise_tpu.ops.join import Join, Product
+
+        leaf = None
+        for op in self.ops:
+            if (isinstance(op, GetTable)
+                    and op.table_name == self._stream.name) or \
+                    (isinstance(op, TableWrapper)
+                     and op.table is self._stream):
+                leaf = op
+        parents: dict = {}
+        for op in self.ops:
+            for inp in op.inputs:
+                parents.setdefault(id(inp), []).append(op)
+        node = leaf
+        while node is not self.root:
+            ps = parents.get(id(node), [])
+            if len(ps) != 1:
+                raise PlanNotCompilable(
+                    f"blocked execution: stream-path node {node.name} has "
+                    f"{len(ps)} consumers (a shared stream subtree would "
+                    "pair rows only within a block)")
+            p = ps[0]
+            if p is self.root or \
+                    (self._mode == "topk"
+                     and p in (self._topk_sort, self._topk_limit)):
+                node = p
+                continue
+            if p.name in self._ROW_DISTRIBUTIVE_1IN or p.name == "UnionAll":
+                node = p
+                continue
+            if isinstance(p, Product):
+                node = p
+                continue
+            if isinstance(p, Join):
+                side = 0 if p.inputs[0] is node else 1
+                mode = p.mode
+                ok = (mode in (JoinMode.INNER,)
+                      or (mode is JoinMode.LEFT and side == 0)
+                      or (mode is JoinMode.RIGHT and side == 1)
+                      or (mode in EXISTENCE_MODES and side == 0))
+                if not ok:
+                    raise PlanNotCompilable(
+                        f"blocked execution: stream table {self._stream.name}"
+                        f" feeds the {'build' if side else 'preserved'} side "
+                        f"of a {mode.value} join — per-block "
+                        f"{mode.value} against a blocked side is not "
+                        "row-distributive (would over/under-count matches)")
+                node = p
+                continue
+            raise PlanNotCompilable(
+                f"blocked execution: {p.name} on the stream path is not "
+                "row-distributive (each output row must derive from exactly "
+                "one stream row)")
 
     # -- per-block argument slicing ---------------------------------------
 

@@ -169,6 +169,95 @@ def test_blocked_topk_limit_sort_root():
     assert_tables_equal(out2.rows(), ref.rows(), ordered=True, rel_tol=1e-9)
 
 
+def test_blocked_rejects_semi_build_stream():
+    """Q4 shape: lineitem on the BUILD side of a semi join. Per-block semi
+    against a blocked build side re-emits an order for every block holding
+    one of its lineitems — SUM-merged partial counts double-count. Must be
+    refused (plan/segmented.py decomposes these instead)."""
+    cat = _cat()
+    with pytest.raises(PlanNotCompilable, match="not row-distributive"):
+        BlockedCompiledQuery(TPCH_PLANS[4](cat), cat, block_rows=1 << 14)
+
+
+def test_blocked_rejects_left_build_nested_agg():
+    """Q13 shape: orders on the build side of a LEFT join under a nested
+    aggregate — both edges are non-distributive."""
+    cat = _cat()
+    with pytest.raises(PlanNotCompilable, match="not row-distributive"):
+        BlockedCompiledQuery(TPCH_PLANS[13](cat), cat, block_rows=1 << 14)
+
+
+def test_blocked_rejects_anti_build_stream():
+    """Q22 shape: orders on the build side of an anti join — a customer
+    with no orders in SOME block would pass that block's anti join."""
+    cat = _cat()
+    with pytest.raises(PlanNotCompilable, match="not row-distributive"):
+        BlockedCompiledQuery(TPCH_PLANS[22](cat), cat, block_rows=1 << 14)
+
+
+def test_blocked_rejects_nested_aggregate_on_path():
+    """A nested Aggregate between the stream leaf and the split point is
+    not row-distributive: per-block inner groups are partial."""
+    import pandas as pd
+    from hyrise_tpu.expression import ast
+    from hyrise_tpu.ops.aggregate import Aggregate
+    from hyrise_tpu.ops.get_table import GetTable
+    from hyrise_tpu.storage.table import Table
+
+    rng = np.random.default_rng(3)
+    n = 4096
+    df = pd.DataFrame({
+        "g": rng.integers(0, 7, n).astype(np.int64),
+        "v": rng.random(n).astype(np.float64),
+    })
+    cat = Catalog()
+    cat.add_table("big", Table.from_pandas("big", df))
+    inner = Aggregate(GetTable("big", cat), ["g"],
+                      [("s", ast.sum_(ast.col("v")))])
+    outer = Aggregate(inner, [], [("m", ast.max_(ast.col("s")))])
+    with pytest.raises(PlanNotCompilable, match="not row-distributive"):
+        BlockedCompiledQuery(outer, cat, block_rows=1024)
+
+
+def test_blocked_accepts_semi_probe_stream():
+    """Positive control: the stream table on the PRESERVED side of a semi
+    join is row-distributive — each stream row passes or not independently
+    of blocking. Value-checked against the eager engine."""
+    import pandas as pd
+    from hyrise_tpu.expression import ast
+    from hyrise_tpu.ops.aggregate import Aggregate
+    from hyrise_tpu.ops.get_table import GetTable
+    from hyrise_tpu.ops.join import Join
+    from hyrise_tpu.ops.sort import Sort
+    from hyrise_tpu.storage.table import Table
+    from hyrise_tpu.types import JoinMode
+
+    rng = np.random.default_rng(11)
+    n = 4096
+    big = pd.DataFrame({
+        "k": rng.integers(0, 200, n).astype(np.int64),
+        "g": rng.integers(0, 5, n).astype(np.int64),
+        "v": rng.random(n).astype(np.float64),
+    })
+    dim = pd.DataFrame({"dk": np.arange(0, 200, 3, dtype=np.int64)})
+    cat = Catalog()
+    cat.add_table("big", Table.from_pandas("big", big))
+    cat.add_table("dim", Table.from_pandas("dim", dim))
+
+    def plan(c):
+        semi = Join(GetTable("big", c), GetTable("dim", c), JoinMode.SEMI,
+                    ("k", "dk"))
+        agg = Aggregate(semi, ["g"], [("s", ast.sum_(ast.col("v"))),
+                                      ("n", ast.count_())])
+        return Sort(agg, ["g"])
+
+    ref = execute_plan(plan(cat))
+    bq = BlockedCompiledQuery(plan(cat), cat, block_rows=1024)
+    assert bq.n_blocks >= 2
+    out = bq.run()
+    assert_tables_equal(out.rows(), ref.rows(), ordered=True, rel_tol=1e-9)
+
+
 def test_blocked_having_tail():
     """A TableScan between the root and the Aggregate (HAVING) runs on the
     merged result."""
