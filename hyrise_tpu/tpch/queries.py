@@ -451,12 +451,20 @@ SQL_13 = """SELECT c_count, count(*) as custdist FROM
 
 
 def q13(cat):
+    # Aggregate orders by o_custkey BEFORE the left join (aggregate
+    # pushdown): COUNT(o_orderkey) over the join equals the per-custkey
+    # order count, with no-order customers surfacing as a NULL count
+    # coalesced to 0. Shrinks the join build from |orders| to |customers|
+    # and leaves the only orders-scale operator a streamable scan->aggregate
+    # (plan/segmented.py splits it at SF>=10).
     orders = TableScan(_g(cat, "orders"),
                        col("o_comment").not_like("%special%request%"))
-    j = Join(_g(cat, "customer"), orders, JoinMode.LEFT,
+    cnt = Aggregate(orders, ["o_custkey"], [("c_count0", count_())])
+    j = Join(_g(cat, "customer"), cnt, JoinMode.LEFT,
              ("c_custkey", "o_custkey"))
-    per_cust = Aggregate(j, ["c_custkey"],
-                         [("c_count", count_(col("o_orderkey")))])
+    per_cust = Projection(j, [
+        ("c_count", Case([(col("c_count0").is_null(), lit(0))],
+                         col("c_count0")))])
     agg = Aggregate(per_cust, ["c_count"], [("custdist", count_())])
     return Sort(agg, [("custdist", DESC), ("c_count", DESC)])
 
@@ -503,17 +511,19 @@ SQL_15 = """SELECT s_suppkey, s_name, s_address, s_phone, total_revenue
 
 
 def q15(cat):
+    # The revenue view is a SHARED subplan (the reference's CREATE VIEW):
+    # its max is joined back on total_revenue equality instead of being
+    # pulled to the host, so the whole query stays one lazy DAG — the
+    # compiled/segmented paths can split the lineitem aggregate without an
+    # eager full-table pre-pass.
     li = TableScan(_g(cat, "lineitem"),
                    (col("l_shipdate") >= lit("1993-05-13"))
                    & (col("l_shipdate") < lit("1993-08-13")))
     revenue = Aggregate(li, ["l_suppkey"], [
         ("total_revenue", sum_(col("l_extendedprice")
                                * (lit(1) - col("l_discount"))))])
-    execute_plan(revenue)  # shared subplan (the reference's CREATE VIEW)
-    max_rev = _scalar(Aggregate(TableWrapper(revenue.get_output()), [],
-                                [("m", max_(col("total_revenue")))]))
-    best = TableScan(TableWrapper(revenue.get_output()),
-                     col("total_revenue") == lit(float(max_rev)))
+    mx = Aggregate(revenue, [], [("m", max_(col("total_revenue")))])
+    best = Join(revenue, mx, INNER, ("total_revenue", "m"))
     j = Join(_g(cat, "supplier"), best, INNER, ("s_suppkey", "l_suppkey"))
     proj = Projection(j, ["s_suppkey", "s_name", "s_address", "s_phone",
                           "total_revenue"])
@@ -559,10 +569,18 @@ SQL_17 = """SELECT SUM(l_extendedprice) / 7.0 as avg_yearly FROM lineitem,
 
 
 def q17(cat):
+    # The correlated AVG is only consulted for partkeys that survive the
+    # brand/container filter (~1/1000 of part), so the avg subplan
+    # semi-joins lineitem down to those parts FIRST instead of averaging
+    # all 200k partkeys (r4: Q17 was 13x the SF1 suite median, dominated by
+    # the full-table aggregate). The semi join is row-distributive, so both
+    # lineitem occurrences stay streamable.
     part = TableScan(_g(cat, "part"),
                      (col("p_brand") == lit("Brand#23"))
                      & (col("p_container") == lit("MED BOX")))
-    avg_qty = Aggregate(_g(cat, "lineitem"), ["l_partkey"],
+    li_parts = Join(_g(cat, "lineitem"), part, JoinMode.SEMI,
+                    ("l_partkey", "p_partkey"))
+    avg_qty = Aggregate(li_parts, ["l_partkey"],
                         [("avg_q", avg_(col("l_quantity")))])
     avg_qty_renamed = Alias(avg_qty, ["avg_partkey", "avg_q"],
                             ["l_partkey", "avg_q"])
@@ -692,16 +710,25 @@ SQL_21 = """SELECT s_name, count(*) as numwait FROM supplier, lineitem l1,
 
 
 def q21(cat):
-    # distinct suppliers per order (all lineitems) and among LATE lineitems.
+    # exists(other supp on the order) == the order has >= 2 distinct
+    # suppliers == MIN(l_suppkey) != MAX(l_suppkey); not exists(other LATE
+    # supp) == the only late supplier is l1's own (l1 itself is late, so
+    # its supplier is always among the late set) == MIN == MAX over late
+    # lineitems. MIN/MAX replace the previous COUNT DISTINCT per-order
+    # aggregates: same predicate, and decomposable for blocked streaming
+    # (COUNT DISTINCT is not), so both per-order passes split at SF>=10.
     all_supp = Aggregate(_g(cat, "lineitem"), ["l_orderkey"],
-                         [("n_supp", count_distinct(col("l_suppkey")))])
-    all_supp = Alias(all_supp, ["ok_all", "n_supp"], ["l_orderkey", "n_supp"])
+                         [("mn_supp", min_(col("l_suppkey"))),
+                          ("mx_supp", max_(col("l_suppkey")))])
+    all_supp = Alias(all_supp, ["ok_all", "mn_supp", "mx_supp"],
+                     ["l_orderkey", "mn_supp", "mx_supp"])
     late_li = TableScan(_g(cat, "lineitem"),
                         col("l_receiptdate") > col("l_commitdate"))
     late_supp = Aggregate(late_li, ["l_orderkey"],
-                          [("n_late_supp", count_distinct(col("l_suppkey")))])
-    late_supp = Alias(late_supp, ["ok_late", "n_late_supp"],
-                      ["l_orderkey", "n_late_supp"])
+                          [("mn_late", min_(col("l_suppkey"))),
+                           ("mx_late", max_(col("l_suppkey")))])
+    late_supp = Alias(late_supp, ["ok_late", "mn_late", "mx_late"],
+                      ["l_orderkey", "mn_late", "mx_late"])
 
     nation = TableScan(_g(cat, "nation"), col("n_name") == lit("SAUDI ARABIA"))
     supp = Join(_g(cat, "supplier"), nation, INNER,
@@ -713,10 +740,8 @@ def q21(cat):
     l1 = Join(l1, ordf, INNER, ("l_orderkey", "o_orderkey"))
     l1 = Join(l1, all_supp, INNER, ("l_orderkey", "ok_all"))
     l1 = Join(l1, late_supp, INNER, ("l_orderkey", "ok_late"))
-    # exists(other supp) == n_supp > 1; not exists(other late supp) ==
-    # n_late_supp == 1 (l1 itself is late, so its supplier is counted).
-    flt = TableScan(l1, (col("n_supp") > lit(1))
-                    & (col("n_late_supp") == lit(1)))
+    flt = TableScan(l1, (col("mn_supp") != col("mx_supp"))
+                    & (col("mn_late") == col("mx_late")))
     agg = Aggregate(flt, ["s_name"], [("numwait", count_())])
     return Sort(agg, [("numwait", DESC), "s_name"])
 
