@@ -188,21 +188,8 @@ class BlockedCompiledQuery(CompiledQuery):
 
     # -- soundness ---------------------------------------------------------
 
-    # single-input ops whose every output row derives from exactly one input
-    # row (filters / column rewrites): always safe to stream through
-    _ROW_DISTRIBUTIVE_1IN = ("TableScan", "Projection", "Alias", "Validate",
-                             "Materialize")
-
     def _validate_distributive(self) -> None:
-        """Refuse decompositions where blocking the stream table changes the
-        result: the path from the stream leaf to the split point must cross
-        only row-distributive edges (module docstring). The reference has no
-        analogue — its chunk loops always see the WHOLE other side
-        (join_hash.cpp builds over all chunks); here the split subtree sees
-        one block at a time, so e.g. a per-block semi join against a blocked
-        build side would re-emit a probe row for every block it matches."""
         from hyrise_tpu.ops.get_table import GetTable, TableWrapper
-        from hyrise_tpu.ops.join import Join, Product
 
         leaf = None
         for op in self.ops:
@@ -211,50 +198,9 @@ class BlockedCompiledQuery(CompiledQuery):
                     (isinstance(op, TableWrapper)
                      and op.table is self._stream):
                 leaf = op
-        parents: dict = {}
-        for op in self.ops:
-            for inp in op.inputs:
-                parents.setdefault(id(inp), []).append(op)
-        node = leaf
-        while node is not self.root:
-            ps = parents.get(id(node), [])
-            if len(ps) != 1:
-                raise PlanNotCompilable(
-                    f"blocked execution: stream-path node {node.name} has "
-                    f"{len(ps)} consumers (a shared stream subtree would "
-                    "pair rows only within a block)")
-            p = ps[0]
-            if p is self.root or \
-                    (self._mode == "topk"
-                     and p in (self._topk_sort, self._topk_limit)):
-                node = p
-                continue
-            if p.name in self._ROW_DISTRIBUTIVE_1IN or p.name == "UnionAll":
-                node = p
-                continue
-            if isinstance(p, Product):
-                node = p
-                continue
-            if isinstance(p, Join):
-                side = 0 if p.inputs[0] is node else 1
-                mode = p.mode
-                ok = (mode in (JoinMode.INNER,)
-                      or (mode is JoinMode.LEFT and side == 0)
-                      or (mode is JoinMode.RIGHT and side == 1)
-                      or (mode in EXISTENCE_MODES and side == 0))
-                if not ok:
-                    raise PlanNotCompilable(
-                        f"blocked execution: stream table {self._stream.name}"
-                        f" feeds the {'build' if side else 'preserved'} side "
-                        f"of a {mode.value} join — per-block "
-                        f"{mode.value} against a blocked side is not "
-                        "row-distributive (would over/under-count matches)")
-                node = p
-                continue
-            raise PlanNotCompilable(
-                f"blocked execution: {p.name} on the stream path is not "
-                "row-distributive (each output row must derive from exactly "
-                "one stream row)")
+        terminal = () if self._mode == "agg" \
+            else (self._topk_sort, self._topk_limit)
+        validate_stream_path(self.ops, leaf, self.root, terminal)
 
     # -- per-block argument slicing ---------------------------------------
 
@@ -401,3 +347,64 @@ class BlockedCompiledQuery(CompiledQuery):
             self._tail_parent.inputs[0] = orig_child
             for op in _walk(self._orig_root):
                 op.clear_output()
+
+# single-input ops whose every output row derives from exactly one input
+# row (filters / column rewrites): always safe to stream through
+_ROW_DISTRIBUTIVE_1IN = ("TableScan", "Projection", "Alias", "Validate",
+                         "Materialize")
+
+
+def validate_stream_path(ops, leaf, stop, terminal_nodes=()) -> None:
+    """Refuse decompositions where blocking the stream table changes the
+    result: the path from the stream leaf `leaf` up to the split point
+    `stop` must cross only row-distributive edges (module docstring). The
+    reference has no analogue — its chunk loops always see the WHOLE other
+    side (join_hash.cpp builds over all chunks); here the split subtree
+    sees one block at a time, so e.g. a per-block semi join against a
+    blocked build side would re-emit a probe row for every block it
+    matches. `terminal_nodes` are additionally treated as part of the
+    decomposition point (the top-K root's Sort/Limit pair)."""
+    from hyrise_tpu.ops.join import Join, Product
+
+    parents = {}
+    for op in ops:
+        for inp in op.inputs:
+            parents.setdefault(id(inp), []).append(op)
+    node = leaf
+    while node is not stop and node not in terminal_nodes:
+        ps = parents.get(id(node), [])
+        if len(ps) != 1:
+            raise PlanNotCompilable(
+                f"blocked execution: stream-path node {node.name} has "
+                f"{len(ps)} consumers (a shared stream subtree would "
+                "pair rows only within a block)")
+        p = ps[0]
+        if p is stop or p in terminal_nodes:
+            node = p
+            continue
+        if p.name in _ROW_DISTRIBUTIVE_1IN or p.name == "UnionAll":
+            node = p
+            continue
+        if isinstance(p, Product):
+            node = p
+            continue
+        if isinstance(p, Join):
+            side = 0 if p.inputs[0] is node else 1
+            mode = p.mode
+            ok = (mode in (JoinMode.INNER,)
+                  or (mode is JoinMode.LEFT and side == 0)
+                  or (mode is JoinMode.RIGHT and side == 1)
+                  or (mode in EXISTENCE_MODES and side == 0))
+            if not ok:
+                raise PlanNotCompilable(
+                    "blocked execution: the stream table feeds the "
+                    f"{'build' if side else 'preserved'} side of a "
+                    f"{mode.value} join — per-block {mode.value} against "
+                    "a blocked side is not row-distributive (would over/"
+                    "under-count matches)")
+            node = p
+            continue
+        raise PlanNotCompilable(
+            f"blocked execution: {p.name} on the stream path is not "
+            "row-distributive (each output row must derive from exactly "
+            "one stream row)")

@@ -1,0 +1,303 @@
+"""Segmented streaming execution: the general chunk axis for plans the
+single-segment blocked compiler (plan/blocked.py) cannot stream.
+
+The reference runs EVERY operator chunk-at-a-time over arbitrarily large
+tables (reference: src/lib/storage/chunk.hpp:44 Chunk::MAX_SIZE,
+src/lib/operators/table_scan.cpp:92-159 per-chunk jobs,
+aggregate.cpp:437-541 per-chunk maps merged at the end), so a query that
+references the fact table several times, nests aggregates, or roots at a
+join still scales past device memory. BlockedCompiledQuery streams exactly
+one shape: tail* -> decomposable Aggregate over a single distributive
+stream occurrence. This module decomposes everything else into STAGES of
+that shape:
+
+1.  large sources — tables whose capacity exceeds `resident_rows` — must be
+    streamed; everything else stays device-resident,
+2.  a rewrite pass wraps the build side of semi/anti joins containing a
+    large ref in a DISTINCT-key Aggregate (same join semantics: existence
+    joins only consult key presence, and one surviving NULL key row
+    preserves NULL/NOT IN behavior) so the large ref sits under a
+    decomposable aggregate,
+3.  extraction repeatedly picks a lowest Aggregate whose subtree holds
+    exactly ONE large ref on a row-distributive path, extends it upward
+    through cheap single-input tail ops (HAVING scans / projections /
+    aliases), cuts it out of the plan as a stage, and substitutes a
+    TableWrapper placeholder that will receive the materialized result,
+4.  the final stage is the remaining root: blocked if a large ref remains,
+    a plain whole-plan CompiledQuery otherwise.
+
+Stages run in dependency order; each stage's CompiledQuery object is cached
+across run() calls, and repeated runs rebind the new result arrays into the
+SAME placeholder Table (downstream programs pinned the placeholder as a jit
+argument) so steady-state reruns stay retrace-free.
+
+TPC-H at SF10 (64M-row lineitem, resident_rows=2^24): Q4/Q13/Q15/Q17/Q18/
+Q20/Q21 decompose into 1-3 lineitem-streaming stages + a resident finish;
+the single-segment queries pass through unchanged as one blocked stage.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Dict, List, Optional
+
+from hyrise_tpu.plan.blocked import (BlockedCompiledQuery, _decompose,
+                                     validate_stream_path)
+from hyrise_tpu.plan.compiler import (CompiledQuery, PlanNotCompilable,
+                                      _walk)
+from hyrise_tpu.types import EXISTENCE_MODES
+
+# single-input tail ops a segment is extended through after its split
+# aggregate (a HAVING scan shrinks the materialized result; projections/
+# aliases are free) — Sort/Limit stay in the residual plan
+_SEGMENT_TAIL_OPS = ("TableScan", "Projection", "Alias")
+
+
+@dataclasses.dataclass
+class _Stage:
+    top: object                      # subplan root this stage materializes
+    wrapper: Optional[object]        # placeholder receiving the result
+    stream: Optional[str]            # stream table name (None: compiled)
+    cq: object = None                # cached (Blocked)CompiledQuery
+    seed: Optional[dict] = None      # pre-learned caps/gathers
+
+
+class SegmentedQuery:
+    """Decompose-and-stream driver over an operator DAG.
+
+    sq = SegmentedQuery(TPCH_PLANS[18](cat), cat, block_rows=1 << 22)
+    table = sq.run()
+
+    The plan is rewritten in place (existence-build DISTINCT wrap, segment
+    cut-out): SegmentedQuery takes ownership of the DAG passed in.
+    """
+
+    def __init__(self, root, catalog=None, block_rows: int = 1 << 22,
+                 resident_rows: int = 1 << 24,
+                 stream_tables: Optional[List[str]] = None):
+        self.root = root
+        self.catalog = catalog
+        self.block_rows = block_rows
+        self.resident_rows = resident_rows
+        self._stream_tables = stream_tables
+        self._rewrite_existence_builds()
+        self.stages: List[_Stage] = self._extract()
+
+    # -- plan analysis -----------------------------------------------------
+
+    def _leaf_table(self, op):
+        from hyrise_tpu.ops.get_table import GetTable, TableWrapper
+        if isinstance(op, GetTable):
+            cat = op.catalog
+            if cat is None:
+                from hyrise_tpu.storage.catalog import default_catalog
+                cat = default_catalog()
+            return cat.get_table(op.table_name)
+        if isinstance(op, TableWrapper):
+            return op.table
+        return None
+
+    def _is_large(self, op) -> bool:
+        t = self._leaf_table(op)
+        if t is None or t.capacity is None:
+            return False
+        if self._stream_tables is not None:
+            return t.name in self._stream_tables
+        return t.capacity > self.resident_rows
+
+    def _large_leaves(self, sub_root):
+        return [op for op in _walk(sub_root) if self._is_large(op)]
+
+    def _refs_of(self, sub_root, table) -> int:
+        from hyrise_tpu.ops.get_table import GetTable, TableWrapper
+        n = 0
+        for op in _walk(sub_root):
+            if isinstance(op, GetTable) and op.table_name == table.name:
+                n += 1
+            elif isinstance(op, TableWrapper) and op.table is table:
+                n += 1
+        return n
+
+    def _is_root_split(self, op, parents) -> bool:
+        """True when `op` hangs under the root through BlockedCompiledQuery
+        tail ops only — i.e. the final blocked stage would split exactly
+        here, so extracting it as a separate stage is pure overhead."""
+        node = op
+        while True:
+            if node is self.root:
+                return True
+            ps = parents.get(id(node), [])
+            if len(ps) != 1 or len(ps[0].inputs) != 1 or \
+                    ps[0].name not in ("Sort", "Projection", "Limit",
+                                       "Alias", "TableScan"):
+                return False
+            node = ps[0]
+
+    # -- rewrite: existence-join builds ------------------------------------
+
+    def _rewrite_existence_builds(self) -> None:
+        """SEMI/ANTI joins only consult build-key PRESENCE, so a large build
+        subtree can always be reduced through a DISTINCT-key aggregate —
+        which extraction can then stream. Key multiplicity is irrelevant;
+        a NULL key group survives as one row, preserving the NULL-never-
+        matches / NOT-IN-poisoning semantics (ops/join.py NULL rules)."""
+        from hyrise_tpu.expression.ast import col, count_
+        from hyrise_tpu.ops.aggregate import Aggregate
+        from hyrise_tpu.ops.join import Join
+
+        for op in _walk(self.root):
+            if isinstance(op, Join) and op.mode in EXISTENCE_MODES:
+                build = op.inputs[1]
+                if isinstance(build, Aggregate):
+                    continue
+                if not self._large_leaves(build):
+                    continue
+                distinct = Aggregate(build, [op.right_col],
+                                     [("__exists_cnt", count_())])
+                op.inputs[1] = distinct
+
+    # -- extraction --------------------------------------------------------
+
+    def _extract(self) -> List[_Stage]:
+        from hyrise_tpu.ops.aggregate import Aggregate
+        from hyrise_tpu.ops.get_table import TableWrapper
+
+        stages: List[_Stage] = []
+        while True:
+            large = self._large_leaves(self.root)
+            if not large:
+                break
+            parents: Dict[int, list] = {}
+            for op in _walk(self.root):
+                for inp in op.inputs:
+                    parents.setdefault(id(inp), []).append(op)
+            chosen = None
+            for op in _walk(self.root):  # post-order: lowest first
+                if not isinstance(op, Aggregate) or op is self.root:
+                    continue
+                sub_ops = _walk(op)
+                in_sub = [l for l in large if l in sub_ops]
+                if len(in_sub) != 1:
+                    continue
+                leaf = in_sub[0]
+                if self._refs_of(op, self._leaf_table(leaf)) != 1:
+                    continue
+                try:
+                    _decompose(op.aggregates)
+                    validate_stream_path(sub_ops, leaf, op)
+                except PlanNotCompilable:
+                    continue
+                if self._is_root_split(op, parents):
+                    # this aggregate IS the final blocked stage's split
+                    # point: leave it in place (one blocked pass beats
+                    # segment + compiled-tail stage)
+                    continue
+                chosen = (op, leaf)
+                break
+            if chosen is None:
+                break  # let the final stage handle (or refuse) the rest
+            node, leaf = chosen
+            # extend upward through cheap single-consumer tail ops
+            while True:
+                ps = parents.get(id(node), [])
+                if len(ps) == 1 and ps[0] is not self.root \
+                        and ps[0].name in _SEGMENT_TAIL_OPS \
+                        and len(ps[0].inputs) == 1:
+                    node = ps[0]
+                    continue
+                break
+            if node is self.root or not parents.get(id(node)):
+                break  # the remaining plan IS the segment: final stage
+            wrapper = TableWrapper(None)
+            for p in parents[id(node)]:
+                p.inputs = [wrapper if i is node else i for i in p.inputs]
+            stages.append(_Stage(node, wrapper,
+                                 self._leaf_table(leaf).name))
+        rest_large = self._large_leaves(self.root)
+        final_stream = None
+        if rest_large:
+            final_stream = max((self._leaf_table(l) for l in rest_large),
+                               key=lambda t: t.capacity).name
+        stages.append(_Stage(self.root, None, final_stream))
+        return stages
+
+    # -- execution ---------------------------------------------------------
+
+    def _build_cq(self, stage: _Stage):
+        if stage.stream is not None:
+            cq = BlockedCompiledQuery(stage.top, self.catalog,
+                                      stream_table=stage.stream,
+                                      block_rows=self.block_rows)
+        else:
+            cq = CompiledQuery(stage.top, self.catalog)
+        if stage.seed:
+            cq.caps[:] = [int(c) for c in stage.seed.get("caps", [])]
+            if stage.seed.get("gathers"):
+                cq.seed_gathers(stage.seed["gathers"])
+        return cq
+
+    def _bind(self, stage: _Stage, result) -> None:
+        """Attach a stage result to its placeholder. First run: adopt the
+        table object (downstream stages will pin it as a jit source).
+        Later runs: splice the new arrays into the SAME object in place so
+        downstream compiled programs keep their argument identity; a
+        capacity change (data changed between runs) invalidates the cached
+        downstream programs instead."""
+        from hyrise_tpu.ops.materialize import ensure_prefix
+        result = ensure_prefix(result)
+        dst = stage.wrapper.table
+        if dst is None:
+            stage.wrapper.table = result
+            return
+        # num_rows is host-known and BAKED into downstream traces (live-mask
+        # iota bounds), so a changed count is a shape change too
+        same_shape = (dst.capacity == result.capacity
+                      and dst.num_rows == int(result.num_rows)
+                      and len(dst.columns) == len(result.columns)
+                      and all(a.dtype is b.dtype for a, b in
+                              zip(dst.columns, result.columns)))
+        if not same_shape:
+            i = self.stages.index(stage)
+            for later in self.stages[i + 1:]:
+                later.cq = None
+            stage.wrapper.table = result
+            return
+        for a, b in zip(dst.columns, result.columns):
+            a._data = b.data
+            a._validity = b._validity
+            a.dictionary = b.dictionary
+            a.val_range = b.val_range
+            a.unique = b.unique
+            a.encoded = b.encoded
+        dst.live = result.live
+
+    def run(self):
+        out = None
+        for stage in self.stages:
+            if stage.cq is None:
+                stage.cq = self._build_cq(stage)
+            out = stage.cq.run()
+            if stage.wrapper is not None:
+                self._bind(stage, out)
+        return out
+
+    # -- capacity/gather seeding (scripts/tpch_bench.py --cap-cache) -------
+
+    def dump_seed(self) -> List[dict]:
+        return [{"caps": list(s.cq.caps),
+                 "gathers": [sorted(g) for g in s.cq.gather_used]}
+                for s in self.stages if s.cq is not None]
+
+    def load_seed(self, seed: List[dict]) -> None:
+        if not seed or len(seed) != len(self.stages):
+            return
+        for s, sd in zip(self.stages, seed):
+            s.seed = sd
+
+    def describe(self) -> str:
+        lines = []
+        for i, s in enumerate(self.stages):
+            kind = f"blocked[{s.stream}]" if s.stream else "compiled"
+            role = "final" if s.wrapper is None else "segment"
+            lines.append(f"stage {i}: {role} {kind} root={s.top.name}")
+        return "\n".join(lines)

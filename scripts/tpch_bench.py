@@ -27,16 +27,22 @@ def main():
     ap.add_argument("--queries", default=None,
                     help="comma-separated query ids (default: all 22)")
     ap.add_argument("--via", choices=("plans", "sql", "compiled",
-                                      "sql-compiled", "blocked"),
+                                      "sql-compiled", "blocked", "segmented"),
                     default="plans",
                     help="hand-built physical plans (eager), the full SQL "
                          "pipeline, whole-plan jit compilation "
                          "(plan/compiler.py: ONE device program per query), "
-                         "or blocked streaming execution (plan/blocked.py: "
+                         "blocked streaming execution (plan/blocked.py: "
                          "the fact table in fixed row blocks through one "
-                         "block-shaped program — the SF>=10 chunk axis)")
+                         "block-shaped program), or segmented streaming "
+                         "(plan/segmented.py: multi-stage decomposition — "
+                         "the general SF>=10 chunk axis, all 22 queries)")
     ap.add_argument("--block-rows", type=int, default=1 << 22,
-                    help="rows per stream block for --via blocked")
+                    help="rows per stream block for --via blocked/segmented")
+    ap.add_argument("--resident-rows", type=int, default=1 << 24,
+                    help="tables with capacity above this stream block-wise "
+                         "under --via segmented; everything else stays "
+                         "device-resident")
     ap.add_argument("--cpu", action="store_true",
                     help="force the host CPU backend (the axon TPU tunnel "
                          "makes eager per-op dispatch compile-bound)")
@@ -153,8 +159,15 @@ def main():
                         json.dump(cap_cache, f)
                 return res
             return run
-    elif args.via in ("compiled", "blocked"):
-        if args.via == "blocked":
+    elif args.via in ("compiled", "blocked", "segmented"):
+        if args.via == "segmented":
+            from hyrise_tpu.plan.segmented import SegmentedQuery
+
+            def make_cq(qid):
+                return SegmentedQuery(TPCH_PLANS[qid](cat), cat,
+                                      block_rows=args.block_rows,
+                                      resident_rows=args.resident_rows)
+        elif args.via == "blocked":
             from hyrise_tpu.plan.blocked import BlockedCompiledQuery \
                 as CompiledQuery
 
@@ -175,13 +188,22 @@ def main():
             print(f"seeded capacities for {sorted(cap_cache)} from "
                   f"{args.cap_cache}", file=sys.stderr)
 
+        def _state_of(cq):
+            if args.via == "segmented":
+                return tuple((tuple(s.cq.caps), s.cq._gather_sig())
+                             for s in cq.stages if s.cq is not None)
+            return (tuple(cq.caps), cq._gather_sig())
+
         def make_query(qid):
             def run():
                 cq = cqs.get(qid)
                 if cq is None:
                     cq = make_cq(qid)
                     seed = cap_cache.get(qid)
-                    if isinstance(seed, dict):  # v2: caps + gather sets
+                    if args.via == "segmented":
+                        if isinstance(seed, dict) and "stages" in seed:
+                            cq.load_seed(seed["stages"])
+                    elif isinstance(seed, dict):  # v2: caps + gather sets
                         cq.caps[:] = [int(c) for c in seed.get("caps", [])]
                         cq.seed_gathers(seed.get("gathers", []))
                     elif seed:
@@ -196,14 +218,18 @@ def main():
                     prev = None
                     for _ in range(6):
                         cq.run()
-                        state = (tuple(cq.caps), cq._gather_sig())
+                        state = _state_of(cq)
                         if prev == state:
                             break
                         prev = state
                     if args.cap_cache:
-                        cap_cache[qid] = {
-                            "caps": list(cq.caps),
-                            "gathers": [sorted(s) for s in cq.gather_used]}
+                        if args.via == "segmented":
+                            cap_cache[qid] = {"stages": cq.dump_seed()}
+                        else:
+                            cap_cache[qid] = {
+                                "caps": list(cq.caps),
+                                "gathers": [sorted(s)
+                                            for s in cq.gather_used]}
                         with open(args.cap_cache, "w") as f:
                             json.dump(cap_cache, f)
                 return cq.run()
