@@ -268,20 +268,61 @@ class BlockedCompiledQuery(CompiledQuery):
     # -- blocked run -------------------------------------------------------
 
     def run(self, tighten: bool = False):
-        """Run every block through the (shared) compiled partial program,
-        then merge + finish + tail eagerly. `tighten` is forced off so the
-        capacity vector stays monotone across blocks (a tighten from a
-        sparse block would force a retrace on the next dense one)."""
+        """Run every block through ONE shared compiled partial program,
+        dispatched back-to-back WITHOUT host syncs between blocks, then
+        merge + finish through a cached compiled merge program.
+
+        Device pipeline per run: n_blocks async dispatches of the partial
+        program, ONE stacked device->host read of every block's control
+        word (overflow check + live counts), one dispatch of the merge
+        program, one read of its control word. On the remote-TPU tunnel
+        (~25ms per device->host read, CLAUDE.md) that is ~2 reads per run
+        where the previous form paid one read per block PLUS an eager
+        per-operator merge chain (hundreds of dispatches at SF10 —
+        VERDICT r4: Q3 SF10 at 91s steady vs 0.42s at SF1). `tighten` is
+        forced off for the block program so the capacity vector stays
+        monotone across blocks (a tighten from a sparse block would force
+        a retrace on the next dense one); the merge program tightens
+        normally."""
+        from hyrise_tpu.storage.table import Table
+        from hyrise_tpu.types import bucket_capacity
+
         n = self._stream.num_rows
         B = self.block_rows
-        partials = []
-        for b in range(self.n_blocks):
-            self._block_lo = b * B
-            self._block_live = min(B, n - b * B)
-            partials.append(super().run(tighten=False))
-        if self._mode == "topk":
-            return self._merge_topk(partials)
-        return self._merge_and_finish(partials)
+        self.n_blocks = max(-(-n // B), 1)
+        self._col_bounds()  # host-side bounds OUTSIDE the trace
+        self.last_retries = 0
+        for _ in range(self.MAX_RETRIES):
+            fn, caps_list = self._get_jitted()
+            sig_at_build = self._gather_sig()
+            outs = []
+            for b in range(self.n_blocks):
+                self._block_lo = b * B
+                self._block_live = max(min(B, n - b * B), 0)
+                self._salt += 1
+                outs.append(fn(self._flat_args(), jnp.int32(self._salt)))
+            self.caps = list(caps_list)
+            self._jit_cache[(tuple(self.caps), sig_at_build)] = \
+                (fn, caps_list)
+            self._gather_known_upto = len(self.gather_used)
+            # ONE packed device->host read for every block's control word
+            counts_mat = np.asarray(jnp.stack([o[2] for o in outs]))
+            site_max = counts_mat[:, :-1].max(axis=0) \
+                if counts_mat.shape[1] > 1 else np.zeros(0, np.int64)
+            overflow = [i for i in range(min(len(site_max), len(self.caps)))
+                        if site_max[i] > self.caps[i]]
+            if overflow:
+                for i in overflow:
+                    self.caps[i] = bucket_capacity(max(int(site_max[i]), 1))
+                self.last_retries += 1
+                continue
+            partials = [Table(self._make_columns(o[0], o[1]), int(row[-1]))
+                        for o, row in zip(outs, counts_mat)]
+            if self._mode == "topk":
+                return self._merge_topk(partials)
+            return self._merge_and_finish(partials)
+        raise RuntimeError("capacity retry limit exceeded: " +
+                           str(list(zip(self._labels, self.caps))))
 
     def _merge_topk(self, partial_tables):
         """Per-block top-K tables (each the full root applied to one block)
@@ -318,35 +359,58 @@ class BlockedCompiledQuery(CompiledQuery):
         return execute_plan(root)
 
     def _merge_and_finish(self, partial_tables):
+        """Merge partial aggregates through ONE cached compiled program:
+        UnionAll chain -> final aggregate -> AVG-finisher projection ->
+        the original tail ops. The merge CompiledQuery pins the first
+        run's partial tables as jit sources; later runs splice the new
+        block outputs into those SAME Table objects (shapes are identical
+        — the same partial program produced them), so steady state reuses
+        the compiled merge with zero retraces. Changed partial counts
+        (stream data changed between runs) rebuild the merge program."""
         from hyrise_tpu.ops.aggregate import Aggregate
-        from hyrise_tpu.ops.base import execute_plan
         from hyrise_tpu.ops.get_table import TableWrapper
         from hyrise_tpu.ops.misc import UnionAll
         from hyrise_tpu.ops.projection import Projection
 
-        node = TableWrapper(partial_tables[0])
-        for t in partial_tables[1:]:
-            node = UnionAll(node, TableWrapper(t))
-        final = Aggregate(node, self._groupby, self._final_specs)
-        node = Projection(final, list(self._groupby) + self._finish_cols)
-        if self._tail_parent is None:
-            root = node
-            for op in _walk(root):
-                op.clear_output()
-            return execute_plan(root)
-        # temporarily graft the merged subtree under the tail chain; restore
-        # the original Aggregate afterwards so the caller's plan is unchanged
-        orig_child = self._tail_parent.inputs[0]
-        self._tail_parent.inputs[0] = node
+        counts = [int(t.num_rows) for t in partial_tables]
+        pinned = getattr(self, "_merge_pinned", None)
+        if pinned is not None:
+            ok = (len(pinned) == len(partial_tables)
+                  and [int(t.num_rows) for t in pinned] == counts
+                  and all(a.capacity == b.capacity for a, b in
+                          zip(pinned, partial_tables)))
+            if not ok:
+                pinned = None
+        if pinned is not None:
+            for dst, srct in zip(pinned, partial_tables):
+                for a, b in zip(dst.columns, srct.columns):
+                    a._data = b._data
+                    a._validity = b._validity
+        graft = self._tail_parent is not None
+        if graft:
+            orig_child = self._tail_parent.inputs[0]
         try:
-            root = self._orig_root
-            for op in _walk(root):
-                op.clear_output()
-            return execute_plan(root)
+            if pinned is None:
+                self._merge_pinned = list(partial_tables)
+                node = TableWrapper(partial_tables[0])
+                for t in partial_tables[1:]:
+                    node = UnionAll(node, TableWrapper(t))
+                final = Aggregate(node, self._groupby, self._final_specs)
+                self._merge_node = Projection(
+                    final, list(self._groupby) + self._finish_cols)
+                if graft:
+                    self._tail_parent.inputs[0] = self._merge_node
+                self._merge_cq = CompiledQuery(
+                    self._orig_root if graft else self._merge_node)
+            elif graft:
+                self._tail_parent.inputs[0] = self._merge_node
+            return self._merge_cq.run()
         finally:
-            self._tail_parent.inputs[0] = orig_child
-            for op in _walk(self._orig_root):
-                op.clear_output()
+            if graft:
+                self._tail_parent.inputs[0] = orig_child
+                for op in _walk(self._orig_root):
+                    op.clear_output()
+
 
 # single-input ops whose every output row derives from exactly one input
 # row (filters / column rewrites): always safe to stream through

@@ -178,6 +178,13 @@ class _ColMeta:
     dtype: object
     dictionary: Optional[np.ndarray]
     has_validity: bool
+    # host-known provenance metadata captured at trace time: carrying these
+    # onto materialized results keeps the LUT-join fast path available when
+    # a compiled stage's output feeds another compiled stage
+    # (plan/segmented.py): without them every downstream join of a
+    # materialized aggregate falls back to the sort engine
+    unique: bool = False
+    val_range: Optional[Tuple[int, int]] = None
 
 
 class PlanNotCompilable(Exception):
@@ -404,8 +411,10 @@ class CompiledQuery:
         for c in out.columns:
             datas.append(c.data)
             valids.append(c.validity)
+            vr = c.val_range if isinstance(c.val_range, tuple) else None
             meta.append(_ColMeta(c.name, c.dtype, c.dictionary,
-                                 c.validity is not None))
+                                 c.validity is not None,
+                                 unique=bool(c.unique), val_range=vr))
         self._out_meta = meta
         self._labels = ctx.labels
         n_rows = jnp.asarray(out.num_rows, dtype=jnp.int64)
@@ -509,5 +518,6 @@ class CompiledQuery:
 
         cols = []
         for m, d, v in zip(self._out_meta, datas, valids):
-            cols.append(Column(m.name, m.dtype, d, v, m.dictionary))
+            cols.append(Column(m.name, m.dtype, d, v, m.dictionary,
+                               unique=m.unique, val_range=m.val_range))
         return cols
