@@ -74,14 +74,17 @@ class SegmentedQuery:
 
     def __init__(self, root, catalog=None, block_rows: int = 1 << 22,
                  resident_rows: int = 1 << 24,
-                 stream_tables: Optional[List[str]] = None):
+                 stream_tables: Optional[List[str]] = None,
+                 hoist_min_rows: int = 1 << 18):
         self.root = root
         self.catalog = catalog
         self.block_rows = block_rows
         self.resident_rows = resident_rows
         self._stream_tables = stream_tables
+        self.hoist_min_rows = hoist_min_rows
         self._rewrite_existence_builds()
         self.stages: List[_Stage] = self._extract()
+        self._hoist_stream_free()
 
     # -- plan analysis -----------------------------------------------------
 
@@ -220,6 +223,70 @@ class SegmentedQuery:
                                key=lambda t: t.capacity).name
         stages.append(_Stage(self.root, None, final_stream))
         return stages
+
+    # -- hoisting: stream-independent subtrees -----------------------------
+
+    def _hoist_stream_free(self) -> None:
+        """A blocked stage's compiled program re-executes its ENTIRE
+        subtree per block — including subplans that never touch the stream
+        table (the reference's per-chunk jobs share one build side across
+        all chunks, join_hash.cpp:204-355: the build is done ONCE). Cut
+        every stream-free subtree off the stream path into its own
+        compiled stage, materialized once per run and fed to the block
+        program as a resident source. Gated on the subtree touching at
+        least one table of `hoist_min_rows` capacity: hoisting a 25-row
+        nation scan would COST a dispatch+read round trip per run for
+        nothing."""
+        from hyrise_tpu.ops.get_table import GetTable, TableWrapper
+
+        out: List[_Stage] = []
+        for stage in self.stages:
+            if stage.stream is None:
+                out.append(stage)
+                continue
+            subs = _walk(stage.top)
+            leaf = None
+            for op in subs:
+                t = self._leaf_table(op)
+                if t is not None and t.name == stage.stream:
+                    leaf = op
+            if leaf is None:
+                out.append(stage)
+                continue
+            parents: Dict[int, list] = {}
+            for op in subs:
+                for inp in op.inputs:
+                    parents.setdefault(id(inp), []).append(op)
+            path = {id(leaf)}
+            node = leaf
+            while node is not stage.top:
+                ps = parents.get(id(node), [])
+                if len(ps) != 1:
+                    break
+                node = ps[0]
+                path.add(id(node))
+            hoisted: Dict[int, object] = {}  # id(subtree) -> wrapper
+            for op in subs:
+                if id(op) not in path:
+                    continue
+                for i, inp in enumerate(op.inputs):
+                    if id(inp) in path:
+                        continue
+                    if isinstance(inp, (GetTable, TableWrapper)):
+                        continue  # already resident
+                    caps = [t.capacity for l in _walk(inp)
+                            for t in (self._leaf_table(l),)
+                            if t is not None]
+                    if not caps or max(caps) < self.hoist_min_rows:
+                        continue
+                    w = hoisted.get(id(inp))
+                    if w is None:
+                        w = TableWrapper(None)
+                        hoisted[id(inp)] = w
+                        out.append(_Stage(inp, w, None))
+                    op.inputs[i] = w
+            out.append(stage)
+        self.stages = out
 
     # -- execution ---------------------------------------------------------
 

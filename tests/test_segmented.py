@@ -41,8 +41,11 @@ def _cat():
 def test_segmented_matches_eager(qid):
     cat = _cat()
     ref = execute_plan(TPCH_PLANS[qid](cat))
+    # hoist_min_rows forced low so stream-free subtrees (dimension joins)
+    # are cut into their own compiled stages, as they are at SF>=10
     sq = SegmentedQuery(TPCH_PLANS[qid](cat), cat,
-                        block_rows=1 << 14, resident_rows=1 << 15)
+                        block_rows=1 << 14, resident_rows=1 << 15,
+                        hoist_min_rows=1 << 11)
     if qid in MULTI_STAGE:
         assert len(sq.stages) >= 2, sq.describe()
     out = sq.run()
