@@ -40,6 +40,25 @@ _TYPE_OID = {
 }
 
 
+def _typed_param(text: str, oid: int) -> object:
+    """Decode a text-format Bind parameter by its Parse-declared type OID;
+    with no declared OID, fall back to numeric-looking inference (matching
+    drivers that send untyped placeholders)."""
+    if oid in (_OID_INT4, _OID_INT8, 21):  # int2/int4/int8
+        return int(text)
+    if oid in (_OID_FLOAT4, _OID_FLOAT8, 1700):  # float4/float8/numeric
+        return float(text)
+    if oid:
+        return text
+    try:
+        return int(text)
+    except ValueError:
+        try:
+            return float(text)
+        except ValueError:
+            return text
+
+
 def _pack_msg(tag: bytes, payload: bytes) -> bytes:
     return tag + struct.pack("!I", len(payload) + 4) + payload
 
@@ -55,8 +74,11 @@ class _Session:
         self.rfile = rfile
         self.wfile = wfile
         self.catalog = catalog
-        self._prepared: dict = {}
+        self._prepared: dict = {}      # name -> (sql, [param type OIDs])
         self._portal_sql: Optional[str] = None
+        self._portal_params: Optional[List[object]] = None
+        self._portal_result: Optional[Table] = None
+        self._portal_described = False
 
     # -- low-level -----------------------------------------------------------
 
@@ -126,16 +148,20 @@ class _Session:
             self._send(b"D", out)
         return table.num_rows
 
+    def _execute_sql(self, sql: str,
+                     params: Optional[List[object]] = None) -> Table:
+        # plans cache per-operator outputs -> unsafe to share one plan object
+        # across concurrent sessions; bypass the global plan cache here
+        return (SQLPipelineBuilder(sql).with_catalog(self.catalog)
+                .dont_cache_query_plans().with_params(params)
+                .create_pipeline().get_result_table())
+
     def _run_sql(self, sql: str) -> None:
         sql = sql.strip().rstrip(";")
         if not sql:
             self._send(b"C", _cstr("EMPTY"))
             return
-        # plans cache per-operator outputs -> unsafe to share one plan object
-        # across concurrent sessions; bypass the global plan cache here
-        result = (SQLPipelineBuilder(sql).with_catalog(self.catalog)
-                  .dont_cache_query_plans().create_pipeline()
-                  .get_result_table())
+        result = self._execute_sql(sql)
         self._send_row_description(result)
         n = self._send_rows(result)
         self._send(b"C", _cstr(f"SELECT {n}"))
@@ -159,41 +185,83 @@ class _Session:
                     except Exception as e:  # error -> ErrorResponse
                         self._send_error(str(e))
                     self._ready()
-                elif tag == b"P":  # Parse: name, query, n param types
+                elif tag == b"P":  # Parse: name, query, n param types+OIDs
                     name, rest = body.split(b"\x00", 1)
-                    sql, _ = rest.split(b"\x00", 1)
-                    self._prepared[name.decode()] = sql.decode()
+                    sql, rest = rest.split(b"\x00", 1)
+                    oids: List[int] = []
+                    if len(rest) >= 2:
+                        n_oids = struct.unpack("!H", rest[:2])[0]
+                        for i in range(n_oids):
+                            oids.append(struct.unpack(
+                                "!I", rest[2 + 4 * i:6 + 4 * i])[0])
+                    self._prepared[name.decode()] = (sql.decode(), oids)
                     self._send(b"1", b"")  # ParseComplete
                 elif tag == b"B":  # Bind: portal, statement, params...
                     parts = body.split(b"\x00", 2)
                     stmt_name = parts[1].decode()
-                    self._portal_sql = self._prepared.get(stmt_name, "")
-                    # text parameter substitution for '?' placeholders
+                    sql, oids = self._prepared.get(stmt_name, ("", []))
+                    self._portal_sql = sql
                     rest = parts[2]
                     nfmt = struct.unpack("!H", rest[:2])[0]
                     off = 2 + nfmt * 2
                     nparams = struct.unpack("!H", rest[off:off + 2])[0]
                     off += 2
-                    params: List[str] = []
-                    for _ in range(nparams):
+                    # TYPED parameter values: decoded per the Parse OIDs
+                    # (int/float/text), then substituted as literal AST
+                    # nodes by the pipeline's prepared-statement path — a
+                    # string containing quotes or '?' stays one literal,
+                    # never re-parsed SQL (reference:
+                    # server_session.cpp:67-110 typed AllTypeVariants)
+                    params: List[object] = []
+                    for pi in range(nparams):
                         plen = struct.unpack("!i", rest[off:off + 4])[0]
                         off += 4
                         if plen < 0:
-                            params.append("NULL")
-                        else:
-                            params.append(rest[off:off + plen].decode())
-                            off += plen
-                    for p in params:
-                        quoted = p if p.replace(".", "").replace("-", "") \
-                            .isdigit() or p == "NULL" else f"'{p}'"
-                        self._portal_sql = self._portal_sql.replace(
-                            "?", quoted, 1)
+                            params.append(None)
+                            continue
+                        text = rest[off:off + plen].decode()
+                        off += plen
+                        params.append(_typed_param(
+                            text, oids[pi] if pi < len(oids) else 0))
+                    self._portal_params = params if params else None
+                    self._portal_result = None
+                    self._portal_described = False
                     self._send(b"2", b"")  # BindComplete
-                elif tag == b"D":  # Describe -> NoData (rows described at
-                    self._send(b"n", b"")  # Execute time)
+                elif tag == b"D":  # Describe statement ('S') or portal ('P')
+                    kind = body[:1]
+                    if kind == b"P" and self._portal_sql:
+                        # execute now, answer with the REAL row description;
+                        # Execute drains the cached result
+                        try:
+                            self._portal_result = self._execute_sql(
+                                self._portal_sql, self._portal_params)
+                            self._send_row_description(self._portal_result)
+                            self._portal_described = True
+                        except Exception as e:
+                            self._send_error(str(e))
+                    elif kind == b"S":
+                        name = body[1:].split(b"\x00")[0].decode()
+                        sql, oids = self._prepared.get(name, ("", []))
+                        # ParameterDescription from the Parse OIDs
+                        self._send(b"t", struct.pack("!H", len(oids))
+                                   + b"".join(struct.pack("!I", o)
+                                              for o in oids))
+                        self._send(b"n", b"")  # NoData (rows at Execute)
+                    else:
+                        self._send(b"n", b"")
                 elif tag == b"E":  # Execute
                     try:
-                        self._run_sql(self._portal_sql or "")
+                        result = self._portal_result
+                        if result is None:
+                            result = self._execute_sql(
+                                self._portal_sql or "",
+                                self._portal_params)
+                        if not self._portal_described:
+                            self._send_row_description(result)
+                        n = self._send_rows(result)
+                        self._send(b"C", _cstr(f"SELECT {n}"))
+                        self._portal_result = None
+                        self._portal_described = False
                     except Exception as e:
                         self._send_error(str(e))
                 elif tag == b"S":  # Sync

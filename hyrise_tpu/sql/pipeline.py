@@ -381,22 +381,23 @@ class SQLPipeline:
     def __init__(self, sql: str, catalog: Catalog, tm: TransactionManager,
                  use_mvcc: bool, optimizer: Optional[Optimizer],
                  use_cache: bool, context=None, use_compiled: bool = False,
-                 dist_catalog=None):
+                 dist_catalog=None, params: Optional[List[object]] = None):
         t0 = time.perf_counter()
         self.statements = P.parse_sql(sql)
         self.parse_s = time.perf_counter() - t0
         self._sql = sql
         self._args = (catalog, tm, use_mvcc, optimizer, use_cache, context,
-                      use_compiled, dist_catalog)
+                      use_compiled, dist_catalog, params)
         self.pipeline_statements: List[SQLPipelineStatement] = []
 
     def get_result_table(self) -> Table:
         (catalog, tm, use_mvcc, optimizer, use_cache, context,
-         use_compiled, dist_catalog) = self._args
+         use_compiled, dist_catalog, params) = self._args
         result: Optional[Table] = None
         for stmt in self.statements:
             ps = SQLPipelineStatement(stmt, self._sql, catalog, tm, use_mvcc,
                                       optimizer, use_cache, context,
+                                      params=params,
                                       use_compiled=use_compiled,
                                       dist_catalog=dist_catalog)
             ps.metrics.parse_s = self.parse_s / max(len(self.statements), 1)
@@ -420,6 +421,7 @@ class SQLPipelineBuilder:
         import os
         self._use_compiled = os.environ.get("HYRISE_COMPILED", "") == "1"
         self._dist_catalog = None
+        self._params: Optional[List[object]] = None
 
     def with_catalog(self, catalog: Catalog) -> "SQLPipelineBuilder":
         self._catalog = catalog
@@ -464,6 +466,16 @@ class SQLPipelineBuilder:
         self._dist_catalog = shard_catalog
         return self
 
+    def with_params(self, params: Optional[List[object]]
+                    ) -> "SQLPipelineBuilder":
+        """Typed values for `?` placeholders, substituted as literal AST
+        nodes at translation time (NO textual splicing — a string value
+        containing quotes or `?` is just a string literal). The server's
+        extended-protocol Bind rides this path (reference:
+        server_session.cpp:67-110 typed parameter handling)."""
+        self._params = params
+        return self
+
     def create_pipeline(self) -> SQLPipeline:
         return SQLPipeline(
             self.sql,
@@ -472,7 +484,7 @@ class SQLPipelineBuilder:
             default_transaction_manager(),
             self._use_mvcc, self._optimizer, self._use_cache, self._context,
             use_compiled=self._use_compiled,
-            dist_catalog=self._dist_catalog)
+            dist_catalog=self._dist_catalog, params=self._params)
 
 
 def run_sql(sql: str, catalog: Optional[Catalog] = None, context=None,
