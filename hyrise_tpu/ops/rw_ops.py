@@ -94,6 +94,8 @@ def _append_rows(target: Table, values: Table, catalog: Catalog) -> Table:
                                c.dictionary))
         new_table = Table(cols, n_old, name=target.name)
         new_table.mvcc = mvcc.grow(new_cap)
+        if getattr(target, "encoding_spec", None) is not None:
+            new_table.encoding_spec = target.encoding_spec
         target = new_table
         mvcc = target.mvcc
 
@@ -136,6 +138,8 @@ def _append_rows(target: Table, values: Table, catalog: Catalog) -> Table:
         cols.append(Column(c.name, c.dtype, jnp.asarray(data), v, dictionary))
     out = Table(cols, need, name=target.name)
     out.mvcc = mvcc
+    if getattr(target, "encoding_spec", None) is not None:
+        out.encoding_spec = target.encoding_spec
     catalog.replace_table(target.name, out)
     return out
 

@@ -61,6 +61,39 @@ class OperatorTask:
         return order
 
 
+class JobTask:
+    """Reference: scheduler/job_task.hpp — a schedulable lambda. Used by
+    maintenance work (tasks.ChunkCompressionTask, placement migrations)
+    that isn't an operator DAG. schedule() runs through the current
+    scheduler's thread pool when one is set, else inline; join() waits and
+    re-raises."""
+
+    def __init__(self, fn):
+        self.fn = fn
+        self._future: Optional[Future] = None
+        self._result = None
+        self._ran = False
+
+    def schedule(self) -> "JobTask":
+        sched = current_scheduler()
+        pool = getattr(sched, "_job_pool", None)
+        if isinstance(sched, PoolScheduler):
+            if pool is None:
+                pool = ThreadPoolExecutor(max_workers=sched.workers)
+                sched._job_pool = pool
+            self._future = pool.submit(self.fn)
+        else:
+            self._result = self.fn()
+            self._ran = True
+        return self
+
+    def join(self):
+        if self._future is not None:
+            return self._future.result()
+        assert self._ran, "join() before schedule()"
+        return self._result
+
+
 class ImmediateScheduler:
     """Single-threaded fallback (reference: AbstractTask::schedule() with no
     scheduler set executes on the caller)."""

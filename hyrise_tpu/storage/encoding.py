@@ -233,6 +233,13 @@ class ChunkEncoder:
             cols.append(ChunkEncoder.encode_column(c, enc))
         t = Table(cols, table.num_rows, name=table.name)
         t.mvcc = table.mvcc
+        # remembered at-rest spec: tasks.ChunkCompressionTask re-encodes
+        # append-materialized columns back to this after Inserts
+        prev = getattr(table, "encoding_spec", None)
+        if isinstance(prev, dict) and isinstance(spec, dict):
+            prev = dict(prev); prev.update(spec); t.encoding_spec = prev
+        else:
+            t.encoding_spec = spec
         return t
 
 
