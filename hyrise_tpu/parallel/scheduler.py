@@ -35,6 +35,17 @@ class OperatorTask:
         self.op = op
         self.predecessors: List["OperatorTask"] = []
         self.successors: List["OperatorTask"] = []
+        self._undrained = 0  # successors that still need our output
+
+    def mark_drained_by(self, successor: "OperatorTask") -> None:
+        """Reference: operator_task.cpp:100-117 — once every successor has
+        executed, the cached output Table (and its device buffers) is
+        dropped so long chains don't hold every intermediate in HBM. Leaf
+        fetches (GetTable/TableWrapper) just reference catalog-owned
+        tables, so clearing them releases nothing but is harmless."""
+        self._undrained -= 1
+        if self._undrained == 0:
+            self.op.clear_output()
 
     def set_as_predecessor_of(self, other: "OperatorTask") -> None:
         self.successors.append(other)
@@ -58,6 +69,8 @@ class OperatorTask:
             return t
 
         walk(root)
+        for t in order:
+            t._undrained = len(t.successors)
         return order
 
 
@@ -98,9 +111,13 @@ class ImmediateScheduler:
     """Single-threaded fallback (reference: AbstractTask::schedule() with no
     scheduler set executes on the caller)."""
 
-    def schedule_and_wait(self, tasks: List[OperatorTask], context=None) -> None:
+    def schedule_and_wait(self, tasks: List[OperatorTask], context=None,
+                          drain: bool = True) -> None:
         for t in tasks:  # already topologically ordered (post-order)
             t.op.execute(context)
+            if drain:
+                for p in t.predecessors:
+                    p.mark_drained_by(t)
 
 
 class PoolScheduler:
@@ -110,7 +127,8 @@ class PoolScheduler:
     def __init__(self, workers: int = 4):
         self.workers = workers
 
-    def schedule_and_wait(self, tasks: List[OperatorTask], context=None) -> None:
+    def schedule_and_wait(self, tasks: List[OperatorTask], context=None,
+                          drain: bool = True) -> None:
         pending = {id(t): len(t.predecessors) for t in tasks}
         lock = threading.Lock()
         done = threading.Event()
@@ -128,6 +146,9 @@ class PoolScheduler:
                     return
                 ready = []
                 with lock:
+                    if drain:
+                        for p in task.predecessors:
+                            p.mark_drained_by(task)
                     remaining[0] -= 1
                     if remaining[0] == 0:
                         done.set()
@@ -161,7 +182,12 @@ def current_scheduler():
     return _current if _current is not None else ImmediateScheduler()
 
 
-def schedule_plan(root: AbstractOperator, context=None) -> Table:
+def schedule_plan(root: AbstractOperator, context=None,
+                  drain: bool = True) -> Table:
+    """Execute a plan through the current scheduler. With `drain` (the
+    default, matching the reference's OperatorTask), every intermediate
+    output is released as soon as its last consumer has executed — only
+    the root's result survives."""
     tasks = OperatorTask.make_tasks_from_operator(root)
-    current_scheduler().schedule_and_wait(tasks, context)
+    current_scheduler().schedule_and_wait(tasks, context, drain=drain)
     return root.get_output()

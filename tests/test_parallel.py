@@ -71,3 +71,39 @@ def test_dist_join_aggregate_matches_pandas():
                       * (1 - merged["l_discount"])).sum())
     assert int(matches) == len(merged)
     assert abs(float(revenue) - expected) / max(expected, 1) < 1e-9
+
+
+def test_schedule_plan_drains_intermediates():
+    """Reference: operator_task.cpp:100-117 clear_output — a drained
+    predecessor's output Table is dropped as soon as its last consumer
+    executed, so a long chain holds only the root result in device
+    memory."""
+    import numpy as np
+    import pandas as pd
+
+    from hyrise_tpu.expression import ast
+    from hyrise_tpu.ops.get_table import TableWrapper
+    from hyrise_tpu.ops.projection import Projection
+    from hyrise_tpu.ops.table_scan import TableScan
+    from hyrise_tpu.parallel.scheduler import schedule_plan
+    from hyrise_tpu.storage.table import Table
+
+    t = Table.from_pandas("t", pd.DataFrame(
+        {"a": np.arange(4096, dtype=np.int64)}))
+    src = TableWrapper(t)
+    chain = src
+    mids = []
+    for i in range(5):
+        chain = Projection(TableScan(chain, ast.col("a") >= ast.lit(i)),
+                           [("a", ast.col("a") + ast.lit(1))])
+        mids.extend([chain.inputs[0], chain])
+    out = schedule_plan(chain)
+    assert out is not None and out.num_rows == 4096
+    # every intermediate released; only the root kept its output
+    for op in mids[:-1]:
+        assert op.get_output() is None, op.name
+    assert chain.get_output() is out
+    # a rerun works from scratch (cleared ops re-execute)
+    out2 = schedule_plan(chain, drain=False)
+    assert out2.num_rows == out.num_rows
+    assert mids[0].get_output() is not None  # drain=False keeps them
