@@ -349,9 +349,8 @@ class BlockedCompiledQuery(CompiledQuery):
                            val_range=c.val_range) for c in t.columns]
             return Table(cols, t.num_rows, name=t.name)
 
-        node = TableWrapper(shrink(partial_tables[0]))
-        for t in partial_tables[1:]:
-            node = UnionAll(node, TableWrapper(shrink(t)))
+        node = _union_tree([TableWrapper(shrink(t))
+                            for t in partial_tables])
         root = Limit(Sort(node, list(self._topk_sort.sort_defs)),
                      self._topk_limit.n)
         for op in _walk(root):
@@ -392,9 +391,8 @@ class BlockedCompiledQuery(CompiledQuery):
         try:
             if pinned is None:
                 self._merge_pinned = list(partial_tables)
-                node = TableWrapper(partial_tables[0])
-                for t in partial_tables[1:]:
-                    node = UnionAll(node, TableWrapper(t))
+                node = _union_tree([TableWrapper(t)
+                                    for t in partial_tables])
                 final = Aggregate(node, self._groupby, self._final_specs)
                 self._merge_node = Projection(
                     final, list(self._groupby) + self._finish_cols)
@@ -402,6 +400,12 @@ class BlockedCompiledQuery(CompiledQuery):
                     self._tail_parent.inputs[0] = self._merge_node
                 self._merge_cq = CompiledQuery(
                     self._orig_root if graft else self._merge_node)
+                seed = getattr(self, "merge_seed", None)
+                if seed:
+                    self._merge_cq.caps[:] = [int(c)
+                                              for c in seed.get("caps", [])]
+                    if seed.get("gathers"):
+                        self._merge_cq.seed_gathers(seed["gathers"])
             elif graft:
                 self._tail_parent.inputs[0] = self._merge_node
             return self._merge_cq.run()
@@ -410,6 +414,25 @@ class BlockedCompiledQuery(CompiledQuery):
                 self._tail_parent.inputs[0] = orig_child
                 for op in _walk(self._orig_root):
                     op.clear_output()
+
+
+def _union_tree(nodes):
+    """Balanced-tree UnionAll fold. A left-deep chain compounds capacity
+    bounds EXPONENTIALLY on the first trace: each union's static bound is
+    prev_capacity + block_capacity, and bucket_capacity rounds that up a
+    full power of two when prev is already a power of two — 15 chained
+    4M-cap partials inflate to a 2^36 bound (int32 overflow + a would-be
+    64M-row first-trace sort). The tree's bounds are exact pairwise sums:
+    bucket(n_blocks * partial_cap) at the root, log2 depth."""
+    from hyrise_tpu.ops.misc import UnionAll
+
+    while len(nodes) > 1:
+        nxt = [UnionAll(nodes[i], nodes[i + 1])
+               for i in range(0, len(nodes) - 1, 2)]
+        if len(nodes) % 2:
+            nxt.append(nodes[-1])
+        nodes = nxt
+    return nodes[0]
 
 
 # single-input ops whose every output row derives from exactly one input

@@ -301,6 +301,8 @@ class SegmentedQuery:
             cq.caps[:] = [int(c) for c in stage.seed.get("caps", [])]
             if stage.seed.get("gathers"):
                 cq.seed_gathers(stage.seed["gathers"])
+            if stage.seed.get("merge"):
+                cq.merge_seed = stage.seed["merge"]
         return cq
 
     def _bind(self, stage: _Stage, result) -> None:
@@ -351,9 +353,18 @@ class SegmentedQuery:
     # -- capacity/gather seeding (scripts/tpch_bench.py --cap-cache) -------
 
     def dump_seed(self) -> List[dict]:
-        return [{"caps": list(s.cq.caps),
+        out = []
+        for s in self.stages:
+            if s.cq is None:
+                continue
+            d = {"caps": list(s.cq.caps),
                  "gathers": [sorted(g) for g in s.cq.gather_used]}
-                for s in self.stages if s.cq is not None]
+            m = getattr(s.cq, "_merge_cq", None)
+            if m is not None:
+                d["merge"] = {"caps": list(m.caps),
+                              "gathers": [sorted(g) for g in m.gather_used]}
+            out.append(d)
+        return out
 
     def load_seed(self, seed: List[dict]) -> None:
         if not seed or len(seed) != len(self.stages):
