@@ -160,6 +160,10 @@ class BlockedDistributedQuery(DistributedCompiledQuery):
                     self.caps[i] = bucket_capacity(max(int(site_max[i]), 1))
                 self.last_retries += 1
                 continue
+            for i in range(min(len(site_max), len(self.caps))):
+                tight = bucket_capacity(max(int(site_max[i]), 1))
+                if tight < self.caps[i]:  # shrink to across-block max
+                    self.caps[i] = tight
             partials = [Table(self._make_columns(o[0], o[1]),
                               int(row[..., -1].max()))
                         for o, row in zip(outs, counts_mat)]

@@ -284,15 +284,20 @@ class BlockedCompiledQuery(CompiledQuery):
         monotone across blocks (a tighten from a sparse block would force
         a retrace on the next dense one); the merge program tightens
         normally."""
+        import os
+        import sys
+        import time
         from hyrise_tpu.storage.table import Table
         from hyrise_tpu.types import bucket_capacity
 
+        profile = os.environ.get("HYRISE_TPU_PROFILE", "") == "1"
         n = self._stream.num_rows
         B = self.block_rows
         self.n_blocks = max(-(-n // B), 1)
         self._col_bounds()  # host-side bounds OUTSIDE the trace
         self.last_retries = 0
         for _ in range(self.MAX_RETRIES):
+            t0 = time.perf_counter()
             fn, caps_list = self._get_jitted()
             sig_at_build = self._gather_sig()
             outs = []
@@ -305,8 +310,15 @@ class BlockedCompiledQuery(CompiledQuery):
             self._jit_cache[(tuple(self.caps), sig_at_build)] = \
                 (fn, caps_list)
             self._gather_known_upto = len(self.gather_used)
+            if profile:
+                t_dispatch = time.perf_counter() - t0
             # ONE packed device->host read for every block's control word
             counts_mat = np.asarray(jnp.stack([o[2] for o in outs]))
+            if profile:
+                print(f"    blocks: dispatch {t_dispatch * 1e3:.1f}ms, "
+                      f"+sync {(time.perf_counter() - t0 - t_dispatch) * 1e3:.1f}ms "
+                      f"({self.n_blocks} blocks)", file=sys.stderr, flush=True)
+                t0 = time.perf_counter()
             site_max = counts_mat[:, :-1].max(axis=0) \
                 if counts_mat.shape[1] > 1 else np.zeros(0, np.int64)
             overflow = [i for i in range(min(len(site_max), len(self.caps)))
@@ -316,11 +328,27 @@ class BlockedCompiledQuery(CompiledQuery):
                     self.caps[i] = bucket_capacity(max(int(site_max[i]), 1))
                 self.last_retries += 1
                 continue
+            # tighten to the ACROSS-BLOCK max: the first-trace estimates
+            # (e.g. join expand = probe capacity) never shrink on their own
+            # with per-block tightening off, so a selective filter+join
+            # chain would sort 90%+ dead rows in every block's partial
+            # aggregate forever (Q3 SF10: 1.9s/block -> the capacity the
+            # data actually needs). The NEXT run retraces once with
+            # right-sized buffers; block-to-block variance is absorbed by
+            # the bucket and, worst case, the overflow retry.
+            for i in range(min(len(site_max), len(self.caps))):
+                tight = bucket_capacity(max(int(site_max[i]), 1))
+                if tight < self.caps[i]:
+                    self.caps[i] = tight
             partials = [Table(self._make_columns(o[0], o[1]), int(row[-1]))
                         for o, row in zip(outs, counts_mat)]
             if self._mode == "topk":
                 return self._merge_topk(partials)
-            return self._merge_and_finish(partials)
+            res = self._merge_and_finish(partials)
+            if profile:
+                print(f"    merge: {(time.perf_counter() - t0) * 1e3:.1f}ms",
+                      file=sys.stderr, flush=True)
+            return res
         raise RuntimeError("capacity retry limit exceeded: " +
                            str(list(zip(self._labels, self.caps))))
 

@@ -53,6 +53,35 @@ from hyrise_tpu.types import EXISTENCE_MODES
 _SEGMENT_TAIL_OPS = ("TableScan", "Projection", "Alias")
 
 
+def _make_prune_op():
+    from hyrise_tpu.ops.base import AbstractOperator
+    from hyrise_tpu.storage.table import Table
+
+    class _PruneTo(AbstractOperator):
+        """Keep-list projection for hoisted-stage outputs: drops columns
+        no operator outside the subtree mentions, so materialization only
+        pays gathers for columns the plan actually reads. Row-preserving;
+        the keep set intersects with the actual schema at execution."""
+
+        name = "Materialize"
+
+        def __init__(self, input_op, keep):
+            super().__init__(input_op)
+            self.keep = set(keep)
+
+        def _on_execute(self, context) -> Table:
+            t = self.input_table(0)
+            cols = [c for c in t.columns if c.name in self.keep]
+            if not cols:
+                return t
+            return Table(cols, t.num_rows, name=t.name, live=t.live)
+
+    return _PruneTo
+
+
+_PruneTo = _make_prune_op()
+
+
 @dataclasses.dataclass
 class _Stage:
     top: object                      # subplan root this stage materializes
@@ -226,6 +255,68 @@ class SegmentedQuery:
 
     # -- hoisting: stream-independent subtrees -----------------------------
 
+    @staticmethod
+    def _referenced_columns(op):
+        """Column names this operator reads from its inputs, or None when
+        the set cannot be determined statically (consume-everything ops:
+        UnionAll/UnionPositions/Difference/Print)."""
+        names = set()
+        n = op.name
+        if n == "TableScan":
+            names |= set(op.predicate.columns())
+        elif n == "Projection":
+            for spec in op.outputs:
+                if isinstance(spec, str):
+                    names.add(spec)
+                else:
+                    names |= set(spec[1].columns())
+        elif n == "Sort":
+            names |= {c for c, _ in op.sort_defs}
+        elif n in ("Join", "JoinHash", "JoinSortMerge", "JoinIndex",
+                   "JoinMPSM", "JoinNestedLoop"):
+            names |= {op.left_col, op.right_col}
+        elif n == "Alias":
+            if op.sources is not None:
+                names |= set(op.sources)
+            # sources=None renames positionally: consumes every column,
+            # but by POSITION — pruning would shift them; treat as unknown
+            else:
+                return None
+        elif n == "Aggregate":
+            names |= set(op.groupby)
+            for _, agg in op.aggregates:
+                if agg.arg is not None:
+                    names |= set(agg.arg.columns())
+        elif n in ("Limit", "Materialize", "Validate", "GetTable",
+                   "TableWrapper", "Product"):
+            pass  # row ops / leaves: no per-name reads (Product keeps all
+            # columns but a pruned hoisted side simply carries fewer —
+            # only sound when the prune set covers downstream readers,
+            # which the global mentioned-set guarantees)
+        else:
+            return None
+        return names
+
+    def _mentioned_outside(self, exclude_ops) -> Optional[set]:
+        """Union of every column name read by any operator of any stage
+        OUTSIDE `exclude_ops` — the safe keep-set for pruning a hoisted
+        subtree's materialized output. None if any such operator's reads
+        are not statically known (pruning is then skipped)."""
+        excl = {id(o) for o in exclude_ops}
+        mentioned: set = set()
+        roots = [s.top for s in self.stages] + [self.root]
+        seen = set()
+        for r in roots:
+            for op in _walk(r):
+                if id(op) in excl or id(op) in seen:
+                    continue
+                seen.add(id(op))
+                names = self._referenced_columns(op)
+                if names is None:
+                    return None
+                mentioned |= names
+        return mentioned
+
     def _hoist_stream_free(self) -> None:
         """A blocked stage's compiled program re-executes its ENTIRE
         subtree per block — including subplans that never touch the stream
@@ -283,10 +374,49 @@ class SegmentedQuery:
                     if w is None:
                         w = TableWrapper(None)
                         hoisted[id(inp)] = w
-                        out.append(_Stage(inp, w, None))
+                        top = self._maybe_prune(inp, stage.top)
+                        out.append(_Stage(top, w, None))
                     op.inputs[i] = w
             out.append(stage)
         self.stages = out
+
+    def _maybe_prune(self, sub_root, stage_top):
+        """Materializing a hoisted subtree gathers EVERY output column
+        (comments, addresses) even when the consuming block program reads
+        three of them — for Q3's orders x customer that is most of the
+        hoisted stage's time. Wrap the subtree in a keep-list projection of
+        every column name any operator outside it mentions, but only when
+        (a) all outside reads are statically known and (b) every path from
+        the consuming wrapper to its stage root crosses a column-
+        enumerating op (Aggregate / Projection / source-named Alias), so
+        pruned columns can never silently vanish from a final result."""
+        sub_ops = _walk(sub_root)
+        mentioned = self._mentioned_outside(sub_ops)
+        if mentioned is None:
+            return sub_root
+        parents: Dict[int, list] = {}
+        for op in _walk(stage_top):
+            for inp in op.inputs:
+                parents.setdefault(id(inp), []).append(op)
+
+        def enumerating(op):
+            return (op.name in ("Aggregate",)
+                    or op.name == "Projection"
+                    or (op.name == "Alias" and op.sources is not None))
+
+        frontier, seen = [sub_root], set()
+        while frontier:
+            node = frontier.pop()
+            for p in parents.get(id(node), []):
+                if id(p) in seen:
+                    continue
+                seen.add(id(p))
+                if enumerating(p):
+                    continue
+                if p is stage_top:
+                    return sub_root  # schema-carrying path: don't prune
+                frontier.append(p)
+        return _PruneTo(sub_root, mentioned)
 
     # -- execution ---------------------------------------------------------
 
@@ -341,13 +471,24 @@ class SegmentedQuery:
         dst.live = result.live
 
     def run(self):
+        import os
+        import sys
+        import time
+        profile = os.environ.get("HYRISE_TPU_PROFILE", "") == "1"
         out = None
-        for stage in self.stages:
+        for i, stage in enumerate(self.stages):
+            t0 = time.perf_counter()
             if stage.cq is None:
                 stage.cq = self._build_cq(stage)
             out = stage.cq.run()
             if stage.wrapper is not None:
                 self._bind(stage, out)
+            if profile:
+                kind = f"blocked[{stage.stream}]" if stage.stream \
+                    else "compiled"
+                print(f"  stage {i} {kind} root={stage.top.name}: "
+                      f"{(time.perf_counter() - t0) * 1e3:.1f}ms",
+                      file=sys.stderr, flush=True)
         return out
 
     # -- capacity/gather seeding (scripts/tpch_bench.py --cap-cache) -------
