@@ -215,8 +215,13 @@ def main():
                     # performs then hits the jit cache. With seeded caches
                     # this reaches the fixpoint on the first pass -> ONE
                     # compile per query.
+                    # HYRISE_TPU_WARM_PASSES caps the fixpoint loop: seed
+                    # HARVESTS need only 2 passes (pass 1 observes exact
+                    # counts and tightens; pass 2 confirms), while timed
+                    # runs default to full convergence
                     prev = None
-                    for _ in range(6):
+                    for _ in range(int(os.environ.get(
+                            "HYRISE_TPU_WARM_PASSES", "6"))):
                         cq.run()
                         state = _state_of(cq)
                         if prev == state:
